@@ -1,0 +1,63 @@
+"""Image pyramid + Gaussian blur (device).
+
+Reference spec: ORBextractor::ComputePyramid
+(/root/reference/code/src/ORBextractor.cc:821-855) — 8 levels, scale 1.2,
+bilinear resize, 7x7 sigma=2 Gaussian before descriptor extraction.
+
+TPU-first: the whole pyramid is built inside one traced program with
+static per-level shapes; XLA fuses resize + blur, so the reference's
+explicit CUDA-stream pipelining dissolves (SURVEY.md §2.10).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def level_shapes(h: int, w: int, n_levels: int, scale: float) -> list[tuple[int, int]]:
+    return [
+        (int(round(h / scale**l)), int(round(w / scale**l))) for l in range(n_levels)
+    ]
+
+
+@functools.lru_cache(maxsize=None)
+def gaussian_kernel_1d(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
+    r = ksize // 2
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x**2) / (2 * sigma**2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable Gaussian on [H,W] f32 with reflect padding."""
+    k = jnp.asarray(gaussian_kernel_1d(ksize, sigma))
+    r = ksize // 2
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    # vertical pass: sum of shifted rows (unrolled; XLA fuses)
+    out = jnp.zeros_like(img)
+    for i in range(ksize):
+        out = out + k[i] * jax.lax.dynamic_slice_in_dim(x, i, img.shape[0], 0)
+    x = jnp.pad(out, ((0, 0), (r, r)), mode="reflect")
+    out = jnp.zeros_like(img)
+    for i in range(ksize):
+        out = out + k[i] * jax.lax.dynamic_slice_in_dim(x, i, img.shape[1], 1)
+    return out
+
+
+def build_pyramid(
+    img: jnp.ndarray, n_levels: int, scale: float
+) -> list[jnp.ndarray]:
+    """[H,W] u8/f32 -> list of [h_l,w_l] f32 levels (bilinear)."""
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+    shapes = level_shapes(h, w, n_levels, scale)
+    levels = [img]
+    for l in range(1, n_levels):
+        levels.append(
+            jax.image.resize(levels[-1], shapes[l], method="linear")
+        )
+    return levels

@@ -1,0 +1,207 @@
+"""Dataset loaders + synthetic world renderer.
+
+Real-format loaders mirror code/src/DataSetUtil.cc:
+  - EuRoC : image dir of <ns>.png + timestamp list file
+  - TUM   : dataset dir with rgb.txt ("ts path" lines)
+  - KITTI : sequence dir with times.txt + image_0/%06d.png
+
+The synthetic dataset renders a fixed 3D landmark field from a smooth
+camera trajectory; it exists because SLAM end-to-end tests need imagery
+with consistent multi-view geometry and none of the benchmark datasets
+ship with this environment.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ImageSequence:
+    paths: list[str]           # empty for synthetic (frames held in memory)
+    timestamps: np.ndarray     # [N] float64 seconds
+    frames: np.ndarray | None = None  # [N,H,W] uint8 for synthetic
+
+    def __len__(self) -> int:
+        return len(self.timestamps)
+
+    def read(self, i: int) -> np.ndarray:
+        """Return grayscale uint8 [H,W]."""
+        if self.frames is not None:
+            return self.frames[i]
+        import cv2
+
+        img = cv2.imread(self.paths[i], cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(self.paths[i])
+        return img
+
+
+def load_euroc(image_dir: str, times_file: str) -> ImageSequence:
+    lines = [ln.strip() for ln in Path(times_file).read_text().splitlines() if ln.strip()]
+    stamps, paths = [], []
+    for ln in lines:
+        stamps.append(float(ln) / 1e9)
+        paths.append(str(Path(image_dir) / f"{ln}.png"))
+    return ImageSequence(paths=paths, timestamps=np.asarray(stamps))
+
+
+def load_tum(dataset_dir: str) -> ImageSequence:
+    rgb_txt = Path(dataset_dir) / "rgb.txt"
+    stamps, paths = [], []
+    for ln in rgb_txt.read_text().splitlines():
+        ln = ln.strip()
+        if not ln or ln.startswith("#"):
+            continue
+        ts, rel = ln.split()[:2]
+        stamps.append(float(ts))
+        paths.append(str(Path(dataset_dir) / rel))
+    return ImageSequence(paths=paths, timestamps=np.asarray(stamps))
+
+
+def load_kitti(sequence_dir: str) -> ImageSequence:
+    seq = Path(sequence_dir)
+    stamps = [float(x) for x in (seq / "times.txt").read_text().split()]
+    paths = [str(seq / "image_0" / f"{i:06d}.png") for i in range(len(stamps))]
+    return ImageSequence(paths=paths, timestamps=np.asarray(stamps))
+
+
+def load_sequence(dtype: str, image_dir: str, times_file: str | None = None) -> ImageSequence:
+    if dtype == "euroc":
+        assert times_file, "euroc needs a TIMES file"
+        return load_euroc(image_dir, times_file)
+    if dtype == "tum":
+        return load_tum(image_dir)
+    if dtype == "kitti":
+        return load_kitti(image_dir)
+    if dtype == "synthetic":
+        return synthesize_sequence()
+    raise ValueError(f"unknown dataset type {dtype!r}")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic world
+# ---------------------------------------------------------------------------
+
+def _look_rotation(forward: np.ndarray, up: np.ndarray) -> np.ndarray:
+    """World->camera rotation for a camera looking along `forward` (z_cam)."""
+    z = forward / np.linalg.norm(forward)
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=0)  # rows = camera axes in world coords
+
+
+@dataclasses.dataclass
+class SyntheticWorld:
+    points: np.ndarray          # [P,3] world landmarks
+    textures: np.ndarray        # [P,ps,ps] uint8 per-landmark patch
+    poses_wc: np.ndarray        # [N,4,4] camera-to-world (ground truth)
+    K: np.ndarray               # [3,3]
+    hw: tuple[int, int]
+
+
+def make_world(
+    n_points: int = 600,
+    n_frames: int = 80,
+    hw: tuple[int, int] = (480, 640),
+    seed: int = 0,
+    agent: int = 0,
+    motion: str = "arc",
+) -> SyntheticWorld:
+    """Landmark field + smooth trajectory.  Different `agent` values share
+    the SAME world (same seed for points) but follow offset trajectories,
+    giving overlapping maps for fusion tests."""
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    # landmark slab 4..9m in front of the trajectory, wide FOV coverage
+    pts = np.stack(
+        [
+            rng.uniform(-6, 6, n_points),
+            rng.uniform(-3.5, 3.5, n_points),
+            rng.uniform(4.0, 9.0, n_points),
+        ],
+        axis=1,
+    )
+    ps = 13
+    # per-landmark texture: bright center blob + structured noise => FAST
+    # corner at the center and a discriminative rBRIEF neighbourhood
+    yy, xx = np.mgrid[-(ps // 2): ps // 2 + 1, -(ps // 2): ps // 2 + 1]
+    blob = np.exp(-(xx**2 + yy**2) / (2 * 2.2**2))
+    tex = rng.randint(0, 90, size=(n_points, ps, ps)).astype(np.float32)
+    amp = rng.uniform(120, 200, size=(n_points, 1, 1))
+    tex = np.clip(tex + amp * blob[None], 0, 255).astype(np.uint8)
+
+    # trajectory
+    arng = np.random.RandomState(1000 + agent)
+    base = np.array([agent * 1.2 - 1.2, 0.0, 0.0])
+    poses = np.zeros((n_frames, 4, 4), dtype=np.float64)
+    for i in range(n_frames):
+        t = i / max(n_frames - 1, 1)
+        if motion == "arc":
+            # sideways arc (good mono-init parallax) + slight push-in
+            c = base + np.array([2.2 * np.sin(0.9 * t * np.pi), 0.35 * np.sin(2 * np.pi * t), 0.8 * t])
+        else:  # forward
+            c = base + np.array([0.3 * np.sin(2 * np.pi * t), 0.0, 2.5 * t])
+        target = np.array([0.0, 0.0, 6.5]) + 0.2 * np.array(
+            [np.sin(3 * t), np.cos(3 * t), 0.0]
+        )
+        R_cw = _look_rotation(target - c, np.array([0.0, -1.0, 0.0]))
+        T = np.eye(4)
+        T[:3, :3] = R_cw.T  # camera-to-world rotation
+        T[:3, 3] = c
+        poses[i] = T
+    K = np.array([[460.0, 0, w / 2.0], [0, 460.0, h / 2.0], [0, 0, 1.0]])
+    del arng
+    return SyntheticWorld(points=pts, textures=tex, poses_wc=poses, K=K, hw=hw)
+
+
+def render_frame(world: SyntheticWorld, i: int) -> np.ndarray:
+    """Render frame i: project landmarks, stamp their textures."""
+    h, w = world.hw
+    img = np.full((h, w), 35, dtype=np.float32)
+    # gentle illumination gradient so the background isn't flat
+    img += np.linspace(0, 18, w)[None, :]
+    T_wc = world.poses_wc[i]
+    R_cw = T_wc[:3, :3].T
+    t_cw = -R_cw @ T_wc[:3, 3]
+    pc = world.points @ R_cw.T + t_cw
+    z = pc[:, 2]
+    uv = (pc[:, :2] / np.maximum(z[:, None], 1e-6)) @ np.diag(
+        [world.K[0, 0], world.K[1, 1]]
+    ) + world.K[:2, 2]
+    ps = world.textures.shape[1]
+    r = ps // 2
+    order = np.argsort(-z)  # far first so near landmarks overwrite
+    for j in order:
+        if z[j] <= 0.3:
+            continue
+        u, v = int(round(uv[j, 0])), int(round(uv[j, 1]))
+        if not (r <= u < w - r and r <= v < h - r):
+            continue
+        patch = world.textures[j].astype(np.float32)
+        img[v - r: v + r + 1, u - r: u + r + 1] = np.maximum(
+            img[v - r: v + r + 1, u - r: u + r + 1], patch
+        )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def synthesize_sequence(
+    n_frames: int = 80,
+    hw: tuple[int, int] = (480, 640),
+    seed: int = 0,
+    agent: int = 0,
+    fps: float = 20.0,
+    motion: str = "arc",
+    n_points: int = 600,
+) -> ImageSequence:
+    world = make_world(n_points=n_points, n_frames=n_frames, hw=hw, seed=seed,
+                       agent=agent, motion=motion)
+    frames = np.stack([render_frame(world, i) for i in range(n_frames)])
+    seq = ImageSequence(
+        paths=[], timestamps=np.arange(n_frames) / fps, frames=frames
+    )
+    seq.world = world  # ground truth attached for tests
+    return seq
