@@ -1,0 +1,191 @@
+"""Batched data association (device).
+
+Reference spec: ORBmatcher (/root/reference/code/src/ORBmatcher.cc) — five
+SearchByProjection variants (:44,:264,:1223,:1356), SearchByBoW (:150,:481),
+SearchForInitialization (:375), SearchForTriangulation (:599), SearchBySim3
+(:1011), Fuse (:751,:893), rotation-histogram consistency (:1475).
+
+TPU formulation: every search is the same dense program —
+  1. build an [Nq, Nt] candidate mask (window / BoW-node / epipolar),
+  2. one MXU Hamming matrix,
+  3. masked top-2 per row (distance threshold + ratio test),
+  4. rotation-histogram filter,
+  5. per-target conflict resolution (keep the closest query).
+Fixed shapes, no per-keypoint control flow; the reference's grid-cell
+candidate lists dissolve into the mask.
+
+Behavioral constants (TH_LOW=50, TH_HIGH=100, HISTO_LENGTH=30 bins, top-3
+bins kept) follow the reference matcher.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hamming import hamming_matrix
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_BINS = 30
+_BIG = jnp.int32(1 << 20)
+
+
+class Matches(NamedTuple):
+    idx: jnp.ndarray    # [Nq] int32 target index (undefined where !valid)
+    dist: jnp.ndarray   # [Nq] int32 Hamming distance
+    valid: jnp.ndarray  # [Nq] bool
+
+
+def rotation_consistency(rot_deg: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Keep only matches whose angle difference falls in the 3 dominant
+    histogram bins (reference: ComputeThreeMaxima, ORBmatcher.cc:1475)."""
+    rot = jnp.mod(rot_deg, 360.0)
+    bins = jnp.clip((rot * (HISTO_BINS / 360.0)).astype(jnp.int32), 0, HISTO_BINS - 1)
+    hist = jnp.zeros((HISTO_BINS,), jnp.int32).at[bins].add(valid.astype(jnp.int32))
+    top_vals, top_idx = jax.lax.top_k(hist, 3)
+    # reference rule: drop 2nd/3rd bins if an order of magnitude below max
+    keep2 = top_vals[1] > 0.1 * top_vals[0]
+    keep3 = top_vals[2] > 0.1 * top_vals[0]
+    ok = (
+        (bins == top_idx[0])
+        | ((bins == top_idx[1]) & keep2)
+        | ((bins == top_idx[2]) & keep3)
+    )
+    return valid & ok
+
+
+def resolve_conflicts(best_idx: jnp.ndarray, dist: jnp.ndarray,
+                      valid: jnp.ndarray, n_targets: int) -> jnp.ndarray:
+    """One query per target: keep the closest, drop the rest."""
+    d = jnp.where(valid, dist, _BIG)
+    per_target = jnp.full((n_targets,), _BIG, jnp.int32).at[best_idx].min(d)
+    win = d <= per_target[best_idx]
+    # tie-break by query index: first query with the winning distance wins
+    nq = best_idx.shape[0]
+    qi = jnp.arange(nq, dtype=jnp.int32)
+    qi_masked = jnp.where(win & valid, qi, nq)
+    first_winner = jnp.full((n_targets,), nq, jnp.int32).at[best_idx].min(qi_masked)
+    return valid & win & (first_winner[best_idx] == qi)
+
+
+def masked_match(
+    desc_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    mask: jnp.ndarray,
+    max_dist: int = TH_LOW,
+    ratio: float = 0.0,
+    angle_q: jnp.ndarray | None = None,
+    angle_t: jnp.ndarray | None = None,
+    check_rotation: bool = False,
+    resolve: bool = True,
+) -> Matches:
+    """The shared dense matching core. mask: [Nq,Nt] candidate gate."""
+    ham = hamming_matrix(desc_q, desc_t)
+    d = jnp.where(mask, ham, _BIG)
+    neg2, idx2 = jax.lax.top_k(-d, 2)
+    best, second = -neg2[:, 0], -neg2[:, 1]
+    best_idx = idx2[:, 0]
+    valid = best <= max_dist
+    if ratio > 0.0:
+        valid &= best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    if check_rotation:
+        assert angle_q is not None and angle_t is not None
+        rot = angle_q - angle_t[best_idx]
+        valid = rotation_consistency(rot, valid)
+    if resolve:
+        valid = resolve_conflicts(best_idx, best, valid, desc_t.shape[0])
+    return Matches(idx=best_idx, dist=best, valid=valid)
+
+
+def window_mask(
+    q_uv: jnp.ndarray,
+    t_uv: jnp.ndarray,
+    radius: jnp.ndarray | float,
+    q_valid: jnp.ndarray,
+    t_valid: jnp.ndarray,
+    t_octave: jnp.ndarray | None = None,
+    oct_lo: jnp.ndarray | None = None,
+    oct_hi: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Square search window (the reference's GetFeaturesInArea grid query,
+    Frame.cc) + optional per-query octave gate."""
+    du = jnp.abs(q_uv[:, 0:1] - t_uv[None, :, 0])
+    dv = jnp.abs(q_uv[:, 1:2] - t_uv[None, :, 1])
+    r = radius if isinstance(radius, (int, float)) else radius[:, None]
+    m = (du <= r) & (dv <= r) & q_valid[:, None] & t_valid[None, :]
+    if t_octave is not None:
+        m &= (t_octave[None, :] >= oct_lo[:, None]) & (
+            t_octave[None, :] <= oct_hi[:, None]
+        )
+    return m
+
+
+def node_mask(
+    node_q: jnp.ndarray, node_t: jnp.ndarray,
+    q_valid: jnp.ndarray, t_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Same-vocabulary-node gate (the reference's FeatureVector walk in
+    SearchByBoW, ORBmatcher.cc:150)."""
+    return (
+        (node_q[:, None] == node_t[None, :])
+        & (node_q[:, None] >= 0)
+        & q_valid[:, None]
+        & t_valid[None, :]
+    )
+
+
+def epipolar_mask(
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    F12: jnp.ndarray,
+    sigma2_2: jnp.ndarray,
+    v1: jnp.ndarray,
+    v2: jnp.ndarray,
+) -> jnp.ndarray:
+    """Point-to-epipolar-line gate (reference: CheckDistEpipolarLine,
+    ORBmatcher.cc): squared distance < 3.84 * sigma^2 of kp2's octave."""
+    ones = jnp.ones((uv1.shape[0], 1), uv1.dtype)
+    l = jnp.concatenate([uv1, ones], 1) @ F12  # lines in image 2: [N1,3]
+    num = (
+        l[:, None, 0] * uv2[None, :, 0]
+        + l[:, None, 1] * uv2[None, :, 1]
+        + l[:, None, 2]
+    )
+    den = l[:, 0:1] ** 2 + l[:, 1:2] ** 2
+    dsq = num**2 / jnp.maximum(den, 1e-12)
+    return (dsq < 3.84 * sigma2_2[None, :]) & v1[:, None] & v2[None, :]
+
+
+def predicted_octave(
+    dist: jnp.ndarray, max_dist: jnp.ndarray, scale: float, n_levels: int
+) -> jnp.ndarray:
+    """Scale-invariance level prediction (reference:
+    MapPoint::PredictScale)."""
+    ratio = jnp.maximum(max_dist / jnp.maximum(dist, 1e-9), 1e-9)
+    lvl = jnp.ceil(jnp.log(ratio) / jnp.log(scale)).astype(jnp.int32)
+    return jnp.clip(lvl, 0, n_levels - 1)
+
+
+def project_to_frame(
+    Tcw: jnp.ndarray, K: jnp.ndarray, pts_w: jnp.ndarray,
+    hw: tuple[int, int],
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """World points -> pixel coords + depth + visibility gate."""
+    pc = (Tcw[:3, :3] @ pts_w.T).T + Tcw[:3, 3]
+    z = pc[:, 2]
+    uv = jnp.stack(
+        [
+            K[0, 0] * pc[:, 0] / jnp.maximum(z, 1e-6) + K[0, 2],
+            K[1, 1] * pc[:, 1] / jnp.maximum(z, 1e-6) + K[1, 2],
+        ],
+        -1,
+    )
+    h, w = hw
+    visible = (
+        (z > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < w)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    )
+    return uv, z, visible
