@@ -165,68 +165,64 @@ def sim3_inv(R, t, s):
     return Rt, t_inv, s_inv
 
 
+def _sim3_W(w: jnp.ndarray, sigma: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """The Sim(3) exp-map translation coupling  Wmat = C I + A W + B W².
+
+    All four (sigma ~ 0) x (theta ~ 0) regimes use exact limits with
+    division guards keyed on the RAW squared angle, so values AND
+    forward-mode derivatives are finite at the identity (critical: every
+    Gauss-Newton Jacobian here is jacfwd at the zero tangent)."""
+    theta2 = jnp.sum(w * w, -1)
+    eps_th = theta2 < 1e-10
+    eps_sig = jnp.abs(sigma) < 1e-6
+    th2s = jnp.where(eps_th, 1.0, theta2)       # safe denominators
+    theta = jnp.sqrt(th2s)
+    sig_s = jnp.where(eps_sig, 1.0, sigma)
+    W = hat(w)
+    W2 = W @ W
+
+    C = jnp.where(eps_sig, 1.0 + sigma / 2.0, (s - 1.0) / sig_s)
+    a_ = s * jnp.sin(theta)
+    b_ = s * jnp.cos(theta)
+    den = sigma * sigma + theta2
+    den_s = jnp.where(eps_th & eps_sig, 1.0, den)
+
+    # general (sigma != 0, theta != 0)
+    A_gen = (a_ * sigma + (1.0 - b_) * theta) / jnp.where(
+        eps_th, 1.0, theta * den_s
+    )
+    B_gen = (C - ((b_ - 1.0) * sigma + a_ * theta) / den_s) / th2s
+    # sigma -> 0 limits (any theta)
+    A_sig0 = jnp.where(eps_th, 0.5, (1.0 - jnp.cos(theta)) / th2s)
+    B_sig0 = jnp.where(eps_th, 1.0 / 6.0, (theta - jnp.sin(theta)) / (th2s * theta))
+    # theta -> 0 limits (sigma != 0)
+    sig2_s = jnp.where(eps_sig, 1.0, sigma * sigma)
+    A_th0 = (s * sigma - s + 1.0) / sig2_s
+    B_th0 = (C - s + s * sigma / 2.0) / sig2_s
+
+    A = jnp.where(eps_sig, A_sig0, jnp.where(eps_th, A_th0, A_gen))
+    B = jnp.where(eps_sig, B_sig0, jnp.where(eps_th, B_th0, B_gen))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return C[..., None, None] * eye + A[..., None, None] * W + B[..., None, None] * W2
+
+
 def sim3_exp(xi: jnp.ndarray):
     """[...,7] (omega, upsilon, sigma) -> (R, t, s).
 
-    Uses the Sim(3) closed-form W matrix (Strasdat's derivation)."""
+    Closed-form Sim(3) exponential (Strasdat's W-matrix derivation)."""
     w, v, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     R = so3_exp(w)
     s = jnp.exp(sigma)
-    theta2 = jnp.sum(w * w, -1)
-    theta = jnp.sqrt(theta2 + _EPS)
-    W = hat(w)
-    W2 = W @ W
-    sig = sigma
-    eps_sig = jnp.abs(sig) < 1e-6
-    eps_th = theta < 1e-6
-    # coefficients A, B, C of  Wmat = C I + A W + B W2
-    C = jnp.where(eps_sig, 1.0, (s - 1.0) / jnp.where(eps_sig, 1.0, sig))
-    a_ = s * jnp.sin(theta)
-    b_ = s * jnp.cos(theta)
-    den = sig * sig + theta2
-    A_gen = (a_ * sig + (1.0 - b_) * theta) / jnp.where(eps_th, 1.0, theta * den + _EPS)
-    B_gen = (
-        C - ((b_ - 1.0) * sig + a_ * theta) / jnp.where(eps_th, 1.0, den + _EPS)
-    ) / jnp.where(eps_th, 1.0, theta2 + _EPS)
-    # sigma ~ 0 limits
-    A_sig0 = jnp.where(eps_th, 0.5, (1.0 - jnp.cos(theta)) / jnp.where(eps_th, 1.0, theta2))
-    B_sig0 = jnp.where(
-        eps_th, 1.0 / 6.0, (theta - jnp.sin(theta)) / jnp.where(eps_th, 1.0, theta2 * theta)
-    )
-    A = jnp.where(eps_sig, A_sig0, jnp.where(eps_th, jnp.zeros_like(A_gen), A_gen))
-    B = jnp.where(eps_sig, B_sig0, jnp.where(eps_th, jnp.zeros_like(B_gen), B_gen))
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    Wmat = C[..., None, None] * eye + A[..., None, None] * W + B[..., None, None] * W2
+    Wmat = _sim3_W(w, sigma, s)
     t = (Wmat @ v[..., None])[..., 0]
     return R, t, s
 
 
 def sim3_log(R, t, s):
-    """(R, t, s) -> [...,7]; inverse of sim3_exp (numerically)."""
+    """(R, t, s) -> [...,7]; inverse of sim3_exp."""
     w = so3_log(R)
     sigma = jnp.log(s)
-    theta2 = jnp.sum(w * w, -1)
-    theta = jnp.sqrt(theta2 + _EPS)
-    W = hat(w)
-    W2 = W @ W
-    eps_sig = jnp.abs(sigma) < 1e-6
-    eps_th = theta < 1e-6
-    C = jnp.where(eps_sig, 1.0, (s - 1.0) / jnp.where(eps_sig, 1.0, sigma))
-    a_ = s * jnp.sin(theta)
-    b_ = s * jnp.cos(theta)
-    den = sigma * sigma + theta2
-    A_gen = (a_ * sigma + (1.0 - b_) * theta) / jnp.where(eps_th, 1.0, theta * den + _EPS)
-    B_gen = (
-        C - ((b_ - 1.0) * sigma + a_ * theta) / jnp.where(eps_th, 1.0, den + _EPS)
-    ) / jnp.where(eps_th, 1.0, theta2 + _EPS)
-    A_sig0 = jnp.where(eps_th, 0.5, (1.0 - jnp.cos(theta)) / jnp.where(eps_th, 1.0, theta2))
-    B_sig0 = jnp.where(
-        eps_th, 1.0 / 6.0, (theta - jnp.sin(theta)) / jnp.where(eps_th, 1.0, theta2 * theta)
-    )
-    A = jnp.where(eps_sig, A_sig0, jnp.where(eps_th, jnp.zeros_like(A_gen), A_gen))
-    B = jnp.where(eps_sig, B_sig0, jnp.where(eps_th, jnp.zeros_like(B_gen), B_gen))
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), W.shape)
-    Wmat = C[..., None, None] * eye + A[..., None, None] * W + B[..., None, None] * W2
+    Wmat = _sim3_W(w, sigma, s)
     v = jnp.linalg.solve(Wmat, t[..., None])[..., 0]
     return jnp.concatenate([w, v, sigma[..., None]], -1)
 

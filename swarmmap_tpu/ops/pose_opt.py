@@ -1,0 +1,124 @@
+"""Motion-only pose optimization (device).
+
+Reference spec: Optimizer::PoseOptimization
+(/root/reference/code/src/Optimizer.cc:239) — g2o Levenberg-Marquardt over
+one SE(3) vertex with monocular reprojection edges, Huber kernel
+delta = sqrt(5.991), 4 rounds x 10 iterations with chi-square outlier
+re-classification between rounds.
+
+TPU formulation: fully batched residuals/Jacobians, closed-form 6x6
+normal-equation solves, fixed iteration counts under jit.  Outlier gating
+is a mask update — no edge removal.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+
+CHI2_MONO = 5.991
+HUBER_DELTA = jnp.sqrt(5.991)
+
+
+def _residuals_jac(Tcw, K, pts_w, uv):
+    """Residuals [N,2] and Jacobians [N,2,6] wrt left-multiplied se3 update
+    (omega, upsilon)."""
+    pc = (Tcw[:3, :3] @ pts_w.T).T + Tcw[:3, 3]
+    x, y = pc[:, 0], pc[:, 1]
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    fx, fy = K[0, 0], K[1, 1]
+    u = fx * x / z + K[0, 2]
+    v = fy * y / z + K[1, 2]
+    r = jnp.stack([u, v], 1) - uv
+    zinv = 1.0 / z
+    zinv2 = zinv * zinv
+    # d(uv)/d(pc)
+    j00 = fx * zinv
+    j02 = -fx * x * zinv2
+    j11 = fy * zinv
+    j12 = -fy * y * zinv2
+    zero = jnp.zeros_like(z)
+    Juv = jnp.stack(
+        [
+            jnp.stack([j00, zero, j02], 1),
+            jnp.stack([zero, j11, j12], 1),
+        ],
+        1,
+    )  # [N,2,3]
+    # d(pc)/d(xi): [-hat(pc) | I]
+    Jp = jnp.concatenate(
+        [-lie.hat(pc), jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (pc.shape[0], 3, 3))],
+        axis=2,
+    )  # [N,3,6]
+    J = Juv @ Jp  # [N,2,6]
+    return r, J, pc[:, 2]
+
+
+class PoseOptResult(NamedTuple):
+    Tcw: jnp.ndarray       # [4,4]
+    inliers: jnp.ndarray   # [N] bool
+    chi2: jnp.ndarray      # [N] f32 (weighted squared error)
+
+
+def pose_optimize(
+    Tcw0: jnp.ndarray,
+    K: jnp.ndarray,
+    pts_w: jnp.ndarray,
+    uv: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    valid: jnp.ndarray,
+    rounds: int = 4,
+    iters: int = 10,
+    chi2_th: float = CHI2_MONO,
+) -> PoseOptResult:
+    """Optimize one camera pose against fixed 3D points."""
+    n = pts_w.shape[0]
+
+    def lm_round(Tcw, active):
+        def body(_, carry):
+            T, lam, last_cost = carry
+            r, J, _z = _residuals_jac(T, K, pts_w, uv)
+            w = inv_sigma2 * active.astype(r.dtype)
+            # Huber IRLS weights on the sigma-normalized error norm
+            en = jnp.sqrt(jnp.sum(r * r, 1) * inv_sigma2 + 1e-12)
+            hub = jnp.where(en <= HUBER_DELTA, 1.0, HUBER_DELTA / en)
+            wh = w * hub
+            H = jnp.einsum("nik,n,nil->kl", J, wh, J)
+            b = -jnp.einsum("nik,n,ni->k", J, wh, r)
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
+            dx = jnp.linalg.solve(Hd, b)
+            T_new = lie.se3_exp(dx) @ T
+            r_new, _, _ = _residuals_jac(T_new, K, pts_w, uv)
+            def cost(rr):
+                e = jnp.sqrt(jnp.sum(rr * rr, 1) * inv_sigma2 + 1e-12)
+                rho = jnp.where(
+                    e <= HUBER_DELTA, e * e, 2 * HUBER_DELTA * e - HUBER_DELTA**2
+                )
+                return jnp.sum(rho * active)
+            c_old = cost(r)
+            c_new = cost(r_new)
+            improved = c_new < c_old
+            T = jnp.where(improved, T_new, T)
+            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+            lam = jnp.clip(lam, 1e-8, 1e6)
+            return T, lam, jnp.where(improved, c_new, c_old)
+
+        T, _, _ = jax.lax.fori_loop(
+            0, iters, body, (Tcw, jnp.asarray(1e-3, Tcw.dtype), jnp.asarray(jnp.inf, Tcw.dtype))
+        )
+        return T
+
+    active = valid
+    Tcw = Tcw0
+    for _ in range(rounds):
+        Tcw = lm_round(Tcw, active)
+        r, _, z = _residuals_jac(Tcw, K, pts_w, uv)
+        chi2 = jnp.sum(r * r, 1) * inv_sigma2
+        active = valid & (chi2 <= chi2_th) & (z > 0)
+    r, _, z = _residuals_jac(Tcw, K, pts_w, uv)
+    chi2 = jnp.sum(r * r, 1) * inv_sigma2
+    inl = valid & (chi2 <= chi2_th) & (z > 0)
+    return PoseOptResult(Tcw=Tcw, inliers=inl, chi2=chi2)

@@ -125,14 +125,17 @@ def make_world(
         ],
         axis=1,
     )
-    ps = 13
-    # per-landmark texture: bright center blob + structured noise => FAST
-    # corner at the center and a discriminative rBRIEF neighbourhood
+    ps = 15
+    # per-landmark texture: coarse-grained unique pattern (3x3-pixel cells
+    # survive the sigma=2 descriptor blur, so rBRIEF stays discriminative)
+    # + a bright center disk that guarantees a FAST corner at the landmark
     yy, xx = np.mgrid[-(ps // 2): ps // 2 + 1, -(ps // 2): ps // 2 + 1]
-    blob = np.exp(-(xx**2 + yy**2) / (2 * 2.2**2))
-    tex = rng.randint(0, 90, size=(n_points, ps, ps)).astype(np.float32)
-    amp = rng.uniform(120, 200, size=(n_points, 1, 1))
-    tex = np.clip(tex + amp * blob[None], 0, 255).astype(np.uint8)
+    cells = rng.randint(0, 150, size=(n_points, 5, 5)).astype(np.float32)
+    tex = np.repeat(np.repeat(cells, 3, axis=1), 3, axis=2)  # [P,15,15]
+    disk = (xx**2 + yy**2) <= 2.4**2
+    amp = rng.uniform(200, 255, size=(n_points, 1, 1))
+    tex = np.where(disk[None], amp, tex)
+    tex = np.clip(tex, 0, 255).astype(np.uint8)
 
     # trajectory
     arng = np.random.RandomState(1000 + agent)

@@ -21,6 +21,8 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # fresh, deterministic stream per test: results don't depend on
+    # which tests ran before
     return np.random.RandomState(42)

@@ -87,9 +87,19 @@ def test_ic_angle_matches_numpy(rng):
         assert min(diff, 360 - diff) < 0.1
 
 
+def _structured_patch(rng, size=33):
+    """Noise + a strong off-center blob: a well-conditioned intensity
+    centroid (pure noise patches have a near-zero centroid and an
+    arbitrarily unstable angle)."""
+    img = rng.randint(0, 120, (size, size)).astype(np.float32)
+    yy, xx = np.mgrid[:size, :size]
+    img += 140 * np.exp(-((xx - size * 0.72) ** 2 + (yy - size * 0.45) ** 2) / 18.0)
+    return np.clip(img, 0, 255)
+
+
 def test_ic_angle_rotation_equivariance(rng):
     """Rotating the patch by 90deg rotates the angle by ~90deg."""
-    img = rng.randint(0, 255, (33, 33)).astype(np.float32)
+    img = _structured_patch(rng)
     img90 = np.rot90(img, k=-1).copy()  # clockwise
     a0 = float(
         orientation.ic_angles(
@@ -108,7 +118,8 @@ def test_ic_angle_rotation_equivariance(rng):
 def test_brief_rotation_invariance(rng):
     """Steered BRIEF: descriptor of a rotated patch (with rotated angle)
     stays close in Hamming distance; unrelated patches are far."""
-    img = rng.randint(0, 256, (64, 64)).astype(np.float32)
+    img = np.zeros((64, 64), np.float32)
+    img[16:48, 16:48] = _structured_patch(rng, 32)
     img_s = np.asarray(pyramid.gaussian_blur(jnp.asarray(img)))
     rot = np.rot90(img, k=-1).copy()
     rot_s = np.asarray(pyramid.gaussian_blur(jnp.asarray(rot)))
