@@ -1,0 +1,100 @@
+"""Per-image container (reference: code/src/Frame.cc).
+
+Holds the extractor output (padded numpy arrays), undistorted keypoints,
+pose, and the per-keypoint map-point association.  The 64x48 search grid
+of the reference (Frame.h:37) is unnecessary: matching ops gate candidates
+with dense window masks on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import extractor as ex
+from ..utils.config import CameraConfig, OrbConfig
+
+_frame_ids = itertools.count()
+
+
+@dataclasses.dataclass
+class Frame:
+    frame_id: int
+    timestamp: float
+    K: np.ndarray                 # [3,3]
+    xy: np.ndarray                # [N,2] undistorted level-0 coords
+    xy_raw: np.ndarray            # [N,2] distorted (as detected)
+    octave: np.ndarray            # [N] i32
+    angle: np.ndarray             # [N] f32 deg
+    response: np.ndarray          # [N]
+    desc: np.ndarray              # [N,8] u32
+    valid: np.ndarray             # [N] bool
+    hw: tuple[int, int]
+    pose_cw: np.ndarray | None = None      # [4,4]
+    mp: np.ndarray | None = None           # [N] i32 map-point slot or -1
+    words: np.ndarray | None = None        # [N] BoW word ids
+    nodes: np.ndarray | None = None        # [N] BoW grouping node ids
+    sigma2: np.ndarray | None = None       # [N] per-kp scale sigma^2
+
+    def __post_init__(self):
+        n = len(self.xy)
+        if self.mp is None:
+            self.mp = np.full(n, -1, np.int32)
+
+    @property
+    def n(self) -> int:
+        return len(self.xy)
+
+    def center(self) -> np.ndarray:
+        T = self.pose_cw
+        return -T[:3, :3].T @ T[:3, 3]
+
+    def compute_bow(self, vocab) -> None:
+        if self.words is None:
+            w, nd = vocab.transform_np(self.desc)
+            self.words = np.where(self.valid, w.astype(np.int32), -1)
+            self.nodes = np.where(self.valid, nd.astype(np.int32), -1)
+
+
+def build_frame(
+    image: np.ndarray,
+    timestamp: float,
+    cam: CameraConfig,
+    orb: OrbConfig,
+    n_features: int | None = None,
+) -> Frame:
+    """Run the device front-end and assemble a Frame."""
+    nf = n_features or orb.n_features
+    feats = ex.extract_orb(
+        jnp.asarray(image),
+        n_features=nf,
+        n_levels=orb.n_levels,
+        scale=orb.scale_factor,
+        th_high=float(orb.ini_th_fast),
+        th_low=float(orb.min_th_fast),
+    )
+    xy_raw = np.asarray(feats.xy)
+    if np.any(cam.dist[:4] != 0):
+        xy = np.asarray(
+            ex.undistort_points(feats.xy, jnp.asarray(cam.K), jnp.asarray(cam.dist))
+        )
+    else:
+        xy = xy_raw
+    octave = np.asarray(feats.octave)
+    sig2 = ex.scale_sigma2(orb.n_levels, orb.scale_factor)[octave]
+    return Frame(
+        frame_id=next(_frame_ids),
+        timestamp=timestamp,
+        K=cam.K.copy(),
+        xy=xy,
+        xy_raw=xy_raw,
+        octave=octave,
+        angle=np.asarray(feats.angle),
+        response=np.asarray(feats.response),
+        desc=np.asarray(feats.desc),
+        valid=np.asarray(feats.valid),
+        hw=image.shape[:2],
+        sigma2=sig2,
+    )

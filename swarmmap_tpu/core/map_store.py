@@ -1,0 +1,523 @@
+"""The map as struct-of-arrays + host bookkeeping.
+
+Replaces the reference's pointer-graph of KeyFrame*/MapPoint* objects
+(/root/reference/code/src/{KeyFrame,MapPoint,Map}.cc) with padded numpy
+arrays (device-transferable slices) and python dict indices: alive-masks
+replace SetBadFlag, compaction replaces deletion (SURVEY.md §7.1).
+
+Global-id scheme mirrors the reference so multi-agent merging works the
+same way: id = local_counter + map_id * MAP_BASE (KeyFrame.cc:65,
+Map.h:45 MAP_BASE=1000000); the originating map of any element is
+id // MAP_BASE (KeyFrame.cc:1008).
+
+Every mutator that the reference instruments with bAddUpdate takes a
+`log` flag and emits an update record through `self.log_fn` — the hook
+where the Mapit change log (L4) attaches.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+from .. import MAP_BASE
+from ..utils.logging import get_logger
+from ..utils.timer import global_clock
+
+_log = get_logger("map")
+
+NO_MP = -1
+
+
+def _grow(arr: np.ndarray, new_cap: int) -> np.ndarray:
+    out = np.zeros((new_cap,) + arr.shape[1:], arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+@dataclasses.dataclass
+class SetTransformGuard:
+    """Scale-jump rejection + interpolation for the map's local->world
+    Sim3 (reference: Map::SetTransform, Map.cc:450-486)."""
+
+    scale_lo: float = 0.8
+    scale_hi: float = 1.2
+    blend: float = 0.9  # weight of the NEW transform
+
+
+class MapStore:
+    """One agent's map (client) or its server-side replica."""
+
+    def __init__(
+        self,
+        map_id: int = 0,
+        kf_capacity: int = 64,
+        mp_capacity: int = 4096,
+        n_kp: int = 1024,
+        log_fn: Callable | None = None,
+        is_server: bool = False,
+    ):
+        self.map_id = map_id
+        self.n_kp = n_kp
+        self.log_fn = log_fn  # (kind, func, global_id, args) -> None
+        self.is_server = is_server
+
+        # -- keyframes ------------------------------------------------------
+        self.n_kf = 0
+        self.kf_pose_cw = np.zeros((kf_capacity, 4, 4), np.float32)
+        self.kf_ts = np.zeros(kf_capacity, np.float64)
+        self.kf_created = np.zeros(kf_capacity, np.float32)  # STS clock
+        self.kf_alive = np.zeros(kf_capacity, bool)
+        self.kf_genuine = np.ones(kf_capacity, bool)   # False => synthesized (MBP)
+        self.kf_gid = np.full(kf_capacity, -1, np.int64)
+        self.kf_frame_id = np.zeros(kf_capacity, np.int64)
+        self.kf_kp_uv = np.zeros((kf_capacity, n_kp, 2), np.float32)
+        self.kf_kp_octave = np.zeros((kf_capacity, n_kp), np.int32)
+        self.kf_kp_angle = np.zeros((kf_capacity, n_kp), np.float32)
+        self.kf_kp_response = np.zeros((kf_capacity, n_kp), np.float32)
+        self.kf_kp_valid = np.zeros((kf_capacity, n_kp), bool)
+        self.kf_desc = np.zeros((kf_capacity, n_kp, 8), np.uint32)
+        self.kf_words = np.full((kf_capacity, n_kp), -1, np.int32)
+        self.kf_nodes = np.full((kf_capacity, n_kp), -1, np.int32)
+        self.kf_kp_mp = np.full((kf_capacity, n_kp), NO_MP, np.int32)
+        self.kf_parent = np.full(kf_capacity, -1, np.int32)     # spanning tree
+        self.kf_velocity = np.zeros(kf_capacity, np.float32)    # MBP feature
+        self.kf_K = np.zeros((kf_capacity, 3, 3), np.float32)
+        self.kf_hw = np.zeros((kf_capacity, 2), np.int32)       # image size
+        self.kf_to_serialize = np.zeros(kf_capacity, bool)      # mbToBeSerialized
+        self.kf_loop_edges: dict[int, set[int]] = {}
+
+        # -- map points -----------------------------------------------------
+        self.n_mp = 0
+        self.mp_pos = np.zeros((mp_capacity, 3), np.float32)
+        self.mp_normal = np.zeros((mp_capacity, 3), np.float32)
+        self.mp_min_dist = np.zeros(mp_capacity, np.float32)
+        self.mp_max_dist = np.zeros(mp_capacity, np.float32)
+        self.mp_desc = np.zeros((mp_capacity, 8), np.uint32)
+        self.mp_alive = np.zeros(mp_capacity, bool)
+        self.mp_gid = np.full(mp_capacity, -1, np.int64)
+        self.mp_ref_kf = np.full(mp_capacity, -1, np.int32)
+        self.mp_first_kf = np.full(mp_capacity, -1, np.int32)
+        self.mp_visible = np.zeros(mp_capacity, np.int32)
+        self.mp_found = np.zeros(mp_capacity, np.int32)
+        self.mp_created = np.zeros(mp_capacity, np.float32)     # STS clock
+        self.mp_last_tracked = np.zeros(mp_capacity, np.float32)
+        self.mp_update_count = np.zeros(mp_capacity, np.int32)  # MBP feature
+        self.mp_cam_velocity = np.zeros(mp_capacity, np.float32)
+        self.mp_to_serialize = np.zeros(mp_capacity, bool)
+
+        # observations: mp slot -> {kf slot: kp idx}
+        self.obs: dict[int, dict[int, int]] = {}
+        # covisibility: kf slot -> {kf slot: shared count}
+        self.covis: dict[int, dict[int, int]] = {}
+
+        # id registries (global id -> slot) — includes foreign elements
+        # inserted by map sync (their gid // MAP_BASE != self.map_id)
+        self.kf_by_gid: dict[int, int] = {}
+        self.mp_by_gid: dict[int, int] = {}
+        self._next_kf_local = 0
+        self._next_mp_local = 0
+
+        # local -> world Sim3 (R, t, s); identity until a merge
+        self.Twl_R = np.eye(3, dtype=np.float32)
+        self.Twl_t = np.zeros(3, np.float32)
+        self.Twl_s = np.float32(1.0)
+        self.transform_guard = SetTransformGuard()
+        self.group_id = map_id  # map group (server-side merging)
+
+        # restoration queues for out-of-order sync (Map.cc:401-423)
+        self.pending_obs: list[tuple[int, int, int]] = []  # (mp_gid, kf_gid, kp)
+
+    # -- logging hook --------------------------------------------------------
+    def _emit(self, kind: str, func: str, gid: int, args: tuple, log: bool):
+        if log and self.log_fn is not None:
+            self.log_fn(kind, func, gid, args)
+
+    # -- capacity ------------------------------------------------------------
+    def _ensure_kf_capacity(self):
+        if self.n_kf < len(self.kf_alive):
+            return
+        cap = len(self.kf_alive) * 2
+        for name in (
+            "kf_pose_cw kf_ts kf_created kf_alive kf_genuine kf_gid kf_frame_id "
+            "kf_kp_uv kf_kp_octave kf_kp_angle kf_kp_response kf_kp_valid "
+            "kf_desc kf_words kf_nodes kf_kp_mp kf_parent kf_velocity kf_K "
+            "kf_hw kf_to_serialize"
+        ).split():
+            setattr(self, name, _grow(getattr(self, name), cap))
+        self.kf_parent[self.n_kf :] = -1
+        self.kf_gid[self.n_kf :] = -1
+        self.kf_kp_mp[self.n_kf :] = NO_MP
+        self.kf_words[self.n_kf :] = -1
+        self.kf_nodes[self.n_kf :] = -1
+        self.kf_genuine[self.n_kf:] = True
+
+    def _ensure_mp_capacity(self):
+        if self.n_mp < len(self.mp_alive):
+            return
+        cap = len(self.mp_alive) * 2
+        for name in (
+            "mp_pos mp_normal mp_min_dist mp_max_dist mp_desc mp_alive mp_gid "
+            "mp_ref_kf mp_first_kf mp_visible mp_found mp_created "
+            "mp_last_tracked mp_update_count mp_cam_velocity mp_to_serialize"
+        ).split():
+            setattr(self, name, _grow(getattr(self, name), cap))
+        self.mp_gid[self.n_mp :] = -1
+        self.mp_ref_kf[self.n_mp :] = -1
+        self.mp_first_kf[self.n_mp :] = -1
+
+    # -- id allocation ---------------------------------------------------------
+    def claim_kf_gid(self) -> int:
+        gid = self._next_kf_local + self.map_id * MAP_BASE
+        self._next_kf_local += 1
+        return gid
+
+    def claim_mp_gid(self) -> int:
+        gid = self._next_mp_local + self.map_id * MAP_BASE
+        self._next_mp_local += 1
+        return gid
+
+    def set_map_id(self, new_id: int):
+        """Re-key the id space after server registration
+        (reference: Map::SetId, Map.cc:513-525)."""
+        old = self.map_id
+        if new_id == old:
+            return
+        self.map_id = new_id
+        self.group_id = new_id
+        delta = (new_id - old) * MAP_BASE
+        self.kf_by_gid = {g + delta: s for g, s in self.kf_by_gid.items()}
+        self.mp_by_gid = {g + delta: s for g, s in self.mp_by_gid.items()}
+        self.kf_gid[: self.n_kf] += delta
+        self.mp_gid[: self.n_mp] += delta
+
+    def origin_map_of(self, gid: int) -> int:
+        return int(gid) // MAP_BASE
+
+    # -- keyframes -------------------------------------------------------------
+    def add_keyframe(
+        self,
+        pose_cw: np.ndarray,
+        K: np.ndarray,
+        kp_uv: np.ndarray,
+        kp_octave: np.ndarray,
+        kp_angle: np.ndarray,
+        kp_response: np.ndarray,
+        kp_valid: np.ndarray,
+        desc: np.ndarray,
+        ts: float = 0.0,
+        frame_id: int = 0,
+        gid: int | None = None,
+        genuine: bool = True,
+        velocity: float = 0.0,
+        hw: tuple[int, int] = (480, 640),
+        log: bool = True,
+    ) -> int:
+        self._ensure_kf_capacity()
+        k = self.n_kf
+        self.n_kf += 1
+        self.kf_pose_cw[k] = pose_cw
+        self.kf_K[k] = K
+        self.kf_ts[k] = ts
+        self.kf_created[k] = global_clock()
+        self.kf_alive[k] = True
+        self.kf_genuine[k] = genuine
+        n = min(len(kp_uv), self.n_kp)
+        self.kf_kp_uv[k, :n] = kp_uv[:n]
+        self.kf_kp_octave[k, :n] = kp_octave[:n]
+        self.kf_kp_angle[k, :n] = kp_angle[:n]
+        self.kf_kp_response[k, :n] = kp_response[:n]
+        self.kf_kp_valid[k, :n] = kp_valid[:n]
+        self.kf_desc[k, :n] = desc[:n]
+        self.kf_frame_id[k] = frame_id
+        self.kf_velocity[k] = velocity
+        self.kf_hw[k] = hw
+        self.kf_gid[k] = self.claim_kf_gid() if gid is None else gid
+        self.kf_by_gid[int(self.kf_gid[k])] = k
+        self.kf_to_serialize[k] = True
+        self.covis[k] = {}
+        self.kf_loop_edges[k] = set()
+        return k
+
+    def set_kf_pose(self, k: int, pose_cw: np.ndarray, log: bool = True):
+        self.kf_pose_cw[k] = pose_cw
+        self._emit("kf", "SetPose", int(self.kf_gid[k]), (pose_cw.copy(),), log)
+
+    def kf_center(self, k: int) -> np.ndarray:
+        T = self.kf_pose_cw[k]
+        return -T[:3, :3].T @ T[:3, 3]
+
+    def set_kf_bad(self, k: int, log: bool = True):
+        """SetBadFlag: detach observations, splice spanning tree
+        (reference: KeyFrame::SetBadFlag)."""
+        if not self.kf_alive[k] or k == 0:
+            return
+        for kp, mp in enumerate(self.kf_kp_mp[k]):
+            if mp != NO_MP:
+                self.erase_observation(int(mp), k, log=False)
+        # reparent children
+        parent = self.kf_parent[k]
+        for child in np.where(self.kf_parent[: self.n_kf] == k)[0]:
+            self.kf_parent[child] = parent
+        # drop covisibility
+        for other in list(self.covis.get(k, {})):
+            self.covis[other].pop(k, None)
+        self.covis[k] = {}
+        self.kf_alive[k] = False
+        self._emit("kf", "SetBadFlag", int(self.kf_gid[k]), (), log)
+
+    def add_loop_edge(self, k1: int, k2: int, log: bool = True):
+        self.kf_loop_edges.setdefault(k1, set()).add(k2)
+        self.kf_loop_edges.setdefault(k2, set()).add(k1)
+        self._emit("kf", "AddLoopEdge", int(self.kf_gid[k1]),
+                   (int(self.kf_gid[k2]),), log)
+
+    # -- map points --------------------------------------------------------------
+    def add_map_point(
+        self,
+        pos: np.ndarray,
+        desc: np.ndarray,
+        ref_kf: int,
+        gid: int | None = None,
+        normal: np.ndarray | None = None,
+        min_dist: float = 0.1,
+        max_dist: float = 100.0,
+        cam_velocity: float = 0.0,
+        log: bool = True,
+    ) -> int:
+        self._ensure_mp_capacity()
+        m = self.n_mp
+        self.n_mp += 1
+        self.mp_pos[m] = pos
+        self.mp_desc[m] = desc
+        self.mp_ref_kf[m] = ref_kf
+        self.mp_first_kf[m] = ref_kf
+        self.mp_alive[m] = True
+        self.mp_visible[m] = 1
+        self.mp_found[m] = 1
+        self.mp_created[m] = global_clock()
+        self.mp_last_tracked[m] = global_clock()
+        self.mp_cam_velocity[m] = cam_velocity
+        self.mp_normal[m] = normal if normal is not None else [0, 0, 1.0]
+        self.mp_min_dist[m] = min_dist
+        self.mp_max_dist[m] = max_dist
+        self.mp_gid[m] = self.claim_mp_gid() if gid is None else gid
+        self.mp_by_gid[int(self.mp_gid[m])] = m
+        self.mp_to_serialize[m] = True
+        self.obs[m] = {}
+        return m
+
+    def set_mp_pos(self, m: int, pos: np.ndarray, log: bool = True):
+        self.mp_pos[m] = pos
+        self.mp_update_count[m] += 1
+        self._emit("mp", "SetWorldPos", int(self.mp_gid[m]), (pos.copy(),), log)
+
+    def add_observation(self, m: int, k: int, kp_idx: int, log: bool = True):
+        if m == NO_MP or not self.mp_alive[m]:
+            return
+        prev = self.obs[m].get(k)
+        if prev == kp_idx:
+            return
+        self.obs[m][k] = kp_idx
+        old_mp = self.kf_kp_mp[k, kp_idx]
+        if old_mp != NO_MP and old_mp != m and old_mp in self.obs:
+            self.obs[old_mp].pop(k, None)
+        self.kf_kp_mp[k, kp_idx] = m
+        self._update_covis_pair(m, k, +1)
+        self._emit("mp", "AddObservation", int(self.mp_gid[m]),
+                   (int(self.kf_gid[k]), kp_idx), log)
+
+    def erase_observation(self, m: int, k: int, log: bool = True):
+        if m not in self.obs or k not in self.obs[m]:
+            return
+        kp_idx = self.obs[m].pop(k)
+        if self.kf_kp_mp[k, kp_idx] == m:
+            self.kf_kp_mp[k, kp_idx] = NO_MP
+        self._update_covis_pair(m, k, -1)
+        self._emit("mp", "EraseObservation", int(self.mp_gid[m]),
+                   (int(self.kf_gid[k]),), log)
+        if len(self.obs[m]) <= 1 and self.mp_alive[m]:
+            self.set_mp_bad(m, log=log)
+
+    def set_mp_bad(self, m: int, log: bool = True):
+        if not self.mp_alive[m]:
+            return
+        for k, kp_idx in list(self.obs.get(m, {}).items()):
+            if self.kf_kp_mp[k, kp_idx] == m:
+                self.kf_kp_mp[k, kp_idx] = NO_MP
+            self._update_covis_pair(m, k, -1)
+        self.obs[m] = {}
+        self.mp_alive[m] = False
+        self._emit("mp", "SetBadFlag", int(self.mp_gid[m]), (), log)
+
+    def replace_mp(self, m_old: int, m_new: int, log: bool = True):
+        """MapPoint::Replace — transplant observations, keep counters."""
+        if m_old == m_new or not self.mp_alive[m_old]:
+            return
+        for k, kp_idx in list(self.obs.get(m_old, {}).items()):
+            self._update_covis_pair(m_old, k, -1)
+            if k in self.obs.get(m_new, {}):
+                # new point already seen by this KF: drop the old obs
+                if self.kf_kp_mp[k, kp_idx] == m_old:
+                    self.kf_kp_mp[k, kp_idx] = NO_MP
+            else:
+                self.obs.setdefault(m_new, {})[k] = kp_idx
+                self.kf_kp_mp[k, kp_idx] = m_new
+                self._update_covis_pair(m_new, k, +1)
+        self.mp_found[m_new] += self.mp_found[m_old]
+        self.mp_visible[m_new] += self.mp_visible[m_old]
+        self.obs[m_old] = {}
+        self.mp_alive[m_old] = False
+        self._emit("mp", "Replace", int(self.mp_gid[m_old]),
+                   (int(self.mp_gid[m_new]),), log)
+
+    def increase_visible(self, ms: np.ndarray, log: bool = True):
+        self.mp_visible[ms] += 1
+        if log and self.log_fn is not None:
+            for m in np.atleast_1d(ms):
+                self._emit("mp", "SetVisible", int(self.mp_gid[m]),
+                           (int(self.mp_visible[m]),), log)
+
+    def increase_found(self, ms: np.ndarray, log: bool = True):
+        self.mp_found[ms] += 1
+        now = global_clock()
+        self.mp_last_tracked[ms] = now
+        if log and self.log_fn is not None:
+            for m in np.atleast_1d(ms):
+                self._emit("mp", "SetFound", int(self.mp_gid[m]),
+                           (int(self.mp_found[m]),), log)
+                self._emit("mp", "SetLastTrackedTime", int(self.mp_gid[m]),
+                           (float(now),), log)
+
+    # -- descriptors / geometry refresh -------------------------------------------
+    def compute_distinctive_descriptor(self, m: int, log: bool = True):
+        """Median-distance-minimizing descriptor among observations
+        (reference: MapPoint::ComputeDistinctiveDescriptors)."""
+        entries = [
+            self.kf_desc[k, kp] for k, kp in self.obs.get(m, {}).items()
+            if self.kf_alive[k]
+        ]
+        if not entries:
+            return
+        D = np.stack(entries).astype(np.uint32)
+        x = np.unpackbits(
+            np.bitwise_xor(D[:, None, :], D[None, :, :]).view(np.uint8), axis=-1
+        ).sum(-1)
+        best = int(np.median(x, axis=1).argmin())
+        self.mp_desc[m] = D[best]
+        self._emit("mp", "ComputeDistinctiveDescriptors", int(self.mp_gid[m]),
+                   (D[best].copy(),), log)
+
+    def update_normal_and_depth(self, m: int, scale_factor: float = 1.2,
+                                n_levels: int = 8, log: bool = True):
+        ob = self.obs.get(m, {})
+        if not ob:
+            return
+        pos = self.mp_pos[m]
+        normals = []
+        for k in ob:
+            c = self.kf_center(k)
+            v = pos - c
+            nv = np.linalg.norm(v)
+            if nv > 1e-9:
+                normals.append(v / nv)
+        if not normals:
+            return
+        n = np.mean(normals, axis=0)
+        self.mp_normal[m] = n / max(np.linalg.norm(n), 1e-9)
+        ref = int(self.mp_ref_kf[m])
+        if ref < 0 or not self.kf_alive[ref]:
+            ref = next(iter(ob))
+        dist = np.linalg.norm(pos - self.kf_center(ref))
+        level = int(self.kf_kp_octave[ref, ob.get(ref, next(iter(ob.values())))])
+        self.mp_max_dist[m] = dist * scale_factor**level
+        self.mp_min_dist[m] = self.mp_max_dist[m] / scale_factor ** (n_levels - 1)
+        self._emit("mp", "UpdateNormalAndDepth", int(self.mp_gid[m]),
+                   (self.mp_normal[m].copy(), float(self.mp_min_dist[m]),
+                    float(self.mp_max_dist[m])), log)
+
+    # -- covisibility ---------------------------------------------------------------
+    def _update_covis_pair(self, m: int, k: int, delta: int):
+        """Incrementally maintain shared-point counts between k and every
+        other observer of m."""
+        for k2 in self.obs.get(m, {}):
+            if k2 == k:
+                continue
+            for a, b in ((k, k2), (k2, k)):
+                d = self.covis.setdefault(a, {})
+                d[b] = d.get(b, 0) + delta
+                if d[b] <= 0:
+                    del d[b]
+
+    def update_connections(self, k: int, min_weight: int = 15, log: bool = True):
+        """Set spanning-tree parent from the strongest covisible
+        (reference: KeyFrame::UpdateConnections)."""
+        con = self.covis.get(k, {})
+        if con and self.kf_parent[k] < 0 and k != 0:
+            best = max(con, key=con.get)
+            if self.kf_gid[best] < self.kf_gid[k]:
+                self.kf_parent[k] = best
+        self._emit("kf", "UpdateConnections", int(self.kf_gid[k]), (), log)
+
+    def covisible_kfs(self, k: int, n: int = 0, min_weight: int = 1) -> list[int]:
+        con = [
+            (w, k2) for k2, w in self.covis.get(k, {}).items()
+            if w >= min_weight and self.kf_alive[k2]
+        ]
+        con.sort(reverse=True)
+        out = [k2 for _, k2 in con]
+        return out[:n] if n else out
+
+    # -- queries ----------------------------------------------------------------------
+    def alive_kf_slots(self) -> np.ndarray:
+        return np.where(self.kf_alive[: self.n_kf])[0]
+
+    def alive_mp_slots(self) -> np.ndarray:
+        return np.where(self.mp_alive[: self.n_mp])[0]
+
+    def kf_tracked_points(self, k: int, min_obs: int = 1) -> int:
+        mps = self.kf_kp_mp[k]
+        cnt = 0
+        for m in mps[mps != NO_MP]:
+            if self.mp_alive[m] and len(self.obs.get(int(m), {})) >= min_obs:
+                cnt += 1
+        return cnt
+
+    # -- global (world) coordinates ------------------------------------------------------
+    def set_transform(self, R: np.ndarray, t: np.ndarray, s: float,
+                      log: bool = True) -> bool:
+        """Guarded Twl update (reference: Map::SetTransform)."""
+        g = self.transform_guard
+        ratio = s / max(float(self.Twl_s), 1e-12)
+        if self.Twl_s != 1.0 and not (g.scale_lo <= ratio <= g.scale_hi):
+            _log.warning("rejecting scale jump %.3f on map %d", ratio, self.map_id)
+            return False
+        if float(self.Twl_s) == 1.0 and np.allclose(self.Twl_R, np.eye(3)):
+            self.Twl_R, self.Twl_t, self.Twl_s = (
+                R.astype(np.float32), t.astype(np.float32), np.float32(s))
+        else:
+            # blend toward the new transform (reference slerp ratio 0.9)
+            b = g.blend
+            from ..utils.trajectory import rot_to_quat, quat_to_rot
+            q0, q1 = rot_to_quat(self.Twl_R), rot_to_quat(R)
+            if np.dot(q0, q1) < 0:
+                q1 = -q1
+            q = (1 - b) * q0 + b * q1
+            self.Twl_R = quat_to_rot(q / np.linalg.norm(q)).astype(np.float32)
+            self.Twl_t = ((1 - b) * self.Twl_t + b * t).astype(np.float32)
+            self.Twl_s = np.float32(self.Twl_s ** (1 - b) * s**b)
+        return True
+
+    def mp_global_pos(self, slots: np.ndarray) -> np.ndarray:
+        p = self.mp_pos[slots]
+        return self.Twl_s * p @ self.Twl_R.T + self.Twl_t
+
+    def kf_global_pose(self, k: int) -> np.ndarray:
+        """World->camera in the group frame: Tcw_global = Tcw_local * Tlw."""
+        Rlw = self.Twl_R.T / self.Twl_s
+        tlw = -Rlw @ self.Twl_t
+        Tlw = np.eye(4, dtype=np.float32)
+        Tlw[:3, :3] = Rlw
+        Tlw[:3, 3] = tlw
+        return self.kf_pose_cw[k] @ Tlw

@@ -1,0 +1,546 @@
+"""Per-frame tracking state machine.
+
+Reference spec: Tracking (/root/reference/code/src/Tracking.cc) —
+monocular initialization, motion-model / reference-keyframe tracking,
+relocalization, local-map tracking, keyframe decision, and the STS
+signals (tracked-point counts, sliding-window velocity with burst
+detection, Tracking.cc:1341-1416).
+
+Device programs do every batch computation (matching, pose optimization,
+two-view init, PnP); this module is the host-side policy around them.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from collections import deque
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import matching, pnp, pose_opt, twoview
+from ..ops import ba as ba_ops
+from ..utils.config import Settings
+from ..utils.padding import bucket_size, pad_rows, pad_slots
+from ..utils.logging import get_logger
+from .frame import Frame, build_frame
+from .keyframe_db import KeyFrameDatabase
+from .map_store import NO_MP, MapStore
+
+_log = get_logger("tracking")
+
+
+class TrackingState(enum.Enum):
+    """reference: TrackingState enum, Tracking.h:64-70"""
+    SYSTEM_NOT_READY = -1
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclasses.dataclass
+class TrackingParams:
+    init_min_matches: int = 80
+    init_window: float = 100.0
+    motion_window_th: float = 15.0
+    local_window_th: float = 3.0
+    min_inliers_motion: int = 10
+    min_inliers_local: int = 30
+    min_inliers_reloc: int = 20
+    kf_ref_ratio: float = 0.9
+    kf_min_inliers: int = 15
+    max_local_mps: int = 4096
+    velocity_window: int = 10      # STS sliding window (Tracking.cc:1364)
+    burst_factor: float = 1.2
+
+
+@dataclasses.dataclass
+class SystemState:
+    """STS client state (reference: System::GetSystemState, System.cc:406)."""
+    location: np.ndarray
+    velocity_burst: bool
+    stable: bool
+    n_tracked: int
+    lost_count: int
+
+
+class Tracking:
+    def __init__(
+        self,
+        settings: Settings,
+        store: MapStore,
+        kfdb: KeyFrameDatabase,
+        vocab,
+        local_mapping=None,
+        params: TrackingParams | None = None,
+        rng_seed: int = 0,
+    ):
+        self.settings = settings
+        self.store = store
+        self.kfdb = kfdb
+        self.vocab = vocab
+        self.local_mapping = local_mapping
+        self.p = params or TrackingParams()
+        self.state = TrackingState.NO_IMAGES_YET
+        self.init_frame: Frame | None = None
+        self.last_frame: Frame | None = None
+        self.velocity: np.ndarray | None = None  # Tcl: last->current
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1
+        self.matches_inliers = 0
+        self.lost_count = 0
+        self._key = jax.random.PRNGKey(rng_seed)
+        # STS signals
+        self.centers = deque(maxlen=self.p.velocity_window)
+        self.velocity_burst = False
+        self.mean_speed = 0.0
+        self.trajectory: list[tuple[float, np.ndarray]] = []  # (ts, Twc)
+
+    # ------------------------------------------------------------------ utils
+    def _split_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    @property
+    def scale_factor(self) -> float:
+        return self.settings.orb.scale_factor
+
+    @property
+    def n_levels(self) -> int:
+        return self.settings.orb.n_levels
+
+    # ------------------------------------------------------------------ main
+    def grab(self, image: np.ndarray, timestamp: float) -> np.ndarray | None:
+        frame = build_frame(image, timestamp, self.settings.camera, self.settings.orb)
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            self.state = TrackingState.NOT_INITIALIZED
+            self._monocular_initialization(frame)
+        else:
+            self._track(frame)
+        self.last_frame = frame
+        if frame.pose_cw is not None:
+            Twc = np.linalg.inv(frame.pose_cw)
+            self.trajectory.append((timestamp, Twc))
+            self._update_velocity_stats(Twc[:3, 3])
+            return frame.pose_cw
+        return None
+
+    # ------------------------------------------------------------ initialization
+    def _monocular_initialization(self, frame: Frame):
+        if self.init_frame is None or frame.valid.sum() < self.p.init_min_matches:
+            if frame.valid.sum() >= self.p.init_min_matches:
+                self.init_frame = frame
+            return
+        ref = self.init_frame
+        mask = matching.window_mask(
+            jnp.asarray(ref.xy), jnp.asarray(frame.xy), self.p.init_window,
+            jnp.asarray(ref.valid), jnp.asarray(frame.valid),
+        )
+        m = matching.masked_match(
+            jnp.asarray(ref.desc), jnp.asarray(frame.desc), mask,
+            max_dist=matching.TH_LOW, ratio=0.9,
+            angle_q=jnp.asarray(ref.angle), angle_t=jnp.asarray(frame.angle),
+            check_rotation=True,
+        )
+        idx = np.asarray(m.idx)
+        valid = np.asarray(m.valid)
+        if valid.sum() < self.p.init_min_matches:
+            self.init_frame = frame  # slide the reference forward
+            return
+        rec = twoview.reconstruct(
+            jnp.asarray(ref.xy), jnp.asarray(frame.xy[idx], np.float32),
+            jnp.asarray(valid), jnp.asarray(frame.K, jnp.float32),
+            self._split_key(),
+        )
+        if not bool(rec.success):
+            return
+        self._create_initial_map(ref, frame, idx, np.asarray(rec.inliers),
+                                 np.asarray(rec.R21), np.asarray(rec.t21),
+                                 np.asarray(rec.pts3d))
+
+    def _create_initial_map(self, ref, frame, match_idx, inliers, R21, t21, pts3d):
+        st = self.store
+        ref.pose_cw = np.eye(4, dtype=np.float32)
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = R21
+        T2[:3, 3] = t21
+        frame.pose_cw = T2
+
+        # median-depth normalization (Tracking::CreateInitialMapMonocular)
+        depths = pts3d[inliers][:, 2]
+        med = float(np.median(depths)) if len(depths) else 1.0
+        if med <= 0:
+            return
+        scale = 1.0 / med
+        frame.pose_cw[:3, 3] *= scale
+        pts3d = pts3d * scale
+
+        k1 = self._insert_keyframe(ref)
+        k2 = self._insert_keyframe(frame)
+        for i in np.where(inliers)[0]:
+            j = match_idx[i]
+            mp = st.add_map_point(pts3d[i], frame.desc[j], ref_kf=k2)
+            st.add_observation(mp, k1, int(i))
+            st.add_observation(mp, k2, int(j))
+            st.compute_distinctive_descriptor(mp)
+            st.update_normal_and_depth(mp, self.scale_factor, self.n_levels)
+            frame.mp[j] = mp
+            ref.mp[i] = mp
+        st.update_connections(k1)
+        st.update_connections(k2)
+
+        # full BA on the 2-view map (reference runs GBA(20))
+        self._initial_ba(k1, k2)
+        self.ref_kf = k2
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackingState.OK
+        _log.info(
+            "map initialized: %d points", int(st.mp_alive[: st.n_mp].sum())
+        )
+
+    def _initial_ba(self, k1: int, k2: int):
+        st = self.store
+        mps = st.alive_mp_slots()
+        if len(mps) < 10:
+            return
+        obs_cam, obs_pt, obs_uv, obs_is2 = [], [], [], []
+        for local_i, m in enumerate(mps):
+            for k, kp in st.obs[int(m)].items():
+                obs_cam.append(0 if k == k1 else 1)
+                obs_pt.append(local_i)
+                obs_uv.append(st.kf_kp_uv[k, kp])
+                obs_is2.append(1.0 / frame_sigma2(st, k, kp, self.scale_factor))
+        prob = ba_ops.build_padded_problem(
+            np.stack([st.kf_pose_cw[k1], st.kf_pose_cw[k2]]),
+            np.stack([st.kf_K[k1], st.kf_K[k2]]),
+            np.array([True, False]),
+            st.mp_pos[mps], obs_cam, obs_pt, obs_uv, obs_is2,
+        )
+        res = ba_ops.bundle_adjust(prob, iters_a=10, iters_b=10, mode="dense")
+        st.kf_pose_cw[k2] = np.asarray(res.Tcw)[1]
+        st.mp_pos[mps] = np.asarray(res.pts)[: len(mps)]
+
+    def _insert_keyframe(self, frame: Frame) -> int:
+        st = self.store
+        frame.compute_bow(self.vocab)
+        k = st.add_keyframe(
+            pose_cw=frame.pose_cw, K=frame.K,
+            kp_uv=frame.xy, kp_octave=frame.octave, kp_angle=frame.angle,
+            kp_response=frame.response, kp_valid=frame.valid, desc=frame.desc,
+            ts=frame.timestamp, frame_id=frame.frame_id,
+            velocity=self.mean_speed, hw=frame.hw,
+        )
+        st.kf_words[k, : len(frame.words)] = frame.words
+        st.kf_nodes[k, : len(frame.nodes)] = frame.nodes
+        for kp, m in enumerate(frame.mp):
+            if m != NO_MP:
+                st.add_observation(int(m), k, kp)
+        self.kfdb.add(st, k)
+        return k
+
+    # ------------------------------------------------------------------ tracking
+    def _track(self, frame: Frame):
+        ok = False
+        if self.state == TrackingState.OK:
+            if self.velocity is not None:
+                ok = self._track_with_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_keyframe(frame)
+        if self.state == TrackingState.LOST or not ok:
+            ok = self._relocalize(frame)
+
+        if ok:
+            ok = self._track_local_map(frame)
+
+        if ok:
+            self.state = TrackingState.OK
+            self.lost_count = 0
+            if self.last_frame is not None and self.last_frame.pose_cw is not None:
+                self.velocity = frame.pose_cw @ np.linalg.inv(self.last_frame.pose_cw)
+            if self._need_new_keyframe(frame):
+                self._create_new_keyframe(frame)
+        else:
+            self.state = TrackingState.LOST
+            self.lost_count += 1
+            self.velocity = None
+            frame.pose_cw = None
+            if self.store.kf_alive[: self.store.n_kf].sum() <= 5:
+                _log.warning("lost right after init — resetting map")
+                self.reset()
+
+    def _match_against_mps(
+        self, frame: Frame, mp_slots: np.ndarray, Tcw_guess: np.ndarray,
+        window_th: float,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Project map points with a pose guess and window-match them to
+        the frame keypoints.  Pads the slot set to a power-of-two bucket
+        so the traced program compiles once per bucket.
+        Returns (padded_slots, kp_idx per slot, valid per slot, visible)."""
+        st = self.store
+        slots, slot_ok = pad_slots(np.asarray(mp_slots, np.int32))
+        pos = st.mp_pos[slots]
+        uv, depth, visible = matching.project_to_frame(
+            jnp.asarray(Tcw_guess), jnp.asarray(frame.K), jnp.asarray(pos), frame.hw
+        )
+        visible = visible & jnp.asarray(slot_ok)
+        pred_oct = matching.predicted_octave(
+            depth, jnp.asarray(st.mp_max_dist[slots]),
+            self.scale_factor, self.n_levels,
+        )
+        radius = window_th * jnp.asarray(self.scale_factor) ** pred_oct.astype(jnp.float32)
+        mask = matching.window_mask(
+            uv, jnp.asarray(frame.xy), radius,
+            visible, jnp.asarray(frame.valid),
+            t_octave=jnp.asarray(frame.octave),
+            oct_lo=pred_oct - 1, oct_hi=pred_oct + 1,
+        )
+        m = matching.masked_match(
+            jnp.asarray(st.mp_desc[slots]), jnp.asarray(frame.desc), mask,
+            max_dist=matching.TH_HIGH, ratio=0.0,
+        )
+        return slots, np.asarray(m.idx), np.asarray(m.valid), np.asarray(visible)
+
+    def _pose_opt_frame(self, frame: Frame) -> int:
+        """Run LM pose optimization on the frame's current associations;
+        prune outlier associations. Returns inlier count.
+        Always runs at the full (fixed) frame size — one compile total."""
+        st = self.store
+        slots = np.clip(frame.mp, 0, max(st.n_mp - 1, 0))
+        valid = (frame.mp != NO_MP) & st.mp_alive[slots] & frame.valid
+        if valid.sum() < 3:
+            return 0
+        res = pose_opt.pose_optimize(
+            jnp.asarray(frame.pose_cw), jnp.asarray(frame.K),
+            jnp.asarray(st.mp_pos[slots]), jnp.asarray(frame.xy),
+            jnp.asarray(1.0 / frame.sigma2),
+            jnp.asarray(valid),
+        )
+        frame.pose_cw = np.asarray(res.Tcw)
+        inl = np.asarray(res.inliers)
+        frame.mp[valid & ~inl] = NO_MP
+        return int(inl.sum())
+
+    def _track_with_motion_model(self, frame: Frame) -> bool:
+        lf = self.last_frame
+        if lf is None or lf.pose_cw is None:
+            return False
+        st = self.store
+        frame.pose_cw = self.velocity @ lf.pose_cw
+        has = (lf.mp != NO_MP)
+        raw = lf.mp[has]
+        raw = raw[st.mp_alive[raw]]
+        if len(raw) < 10:
+            return False
+        slots, kp_idx, valid, _vis = self._match_against_mps(
+            frame, raw, frame.pose_cw, self.p.motion_window_th
+        )
+        frame.mp[:] = NO_MP
+        frame.mp[kp_idx[valid]] = slots[valid]
+        if valid.sum() < 20:
+            # widen the window once, as the reference does
+            slots, kp_idx, valid, _vis = self._match_against_mps(
+                frame, raw, frame.pose_cw, 2 * self.p.motion_window_th
+            )
+            frame.mp[:] = NO_MP
+            frame.mp[kp_idx[valid]] = slots[valid]
+        if valid.sum() < 20:
+            return False
+        return self._pose_opt_frame(frame) >= self.p.min_inliers_motion
+
+    def _track_reference_keyframe(self, frame: Frame) -> bool:
+        if self.ref_kf < 0:
+            return False
+        st = self.store
+        frame.compute_bow(self.vocab)
+        k = self.ref_kf
+        node_m = matching.node_mask(
+            jnp.asarray(st.kf_nodes[k]), jnp.asarray(frame.nodes),
+            jnp.asarray(st.kf_kp_valid[k] & (st.kf_kp_mp[k] != NO_MP)),
+            jnp.asarray(frame.valid),
+        )
+        m = matching.masked_match(
+            jnp.asarray(st.kf_desc[k]), jnp.asarray(frame.desc), node_m,
+            max_dist=matching.TH_LOW, ratio=0.7,
+            angle_q=jnp.asarray(st.kf_kp_angle[k]), angle_t=jnp.asarray(frame.angle),
+            check_rotation=True,
+        )
+        idx = np.asarray(m.idx)
+        valid = np.asarray(m.valid)
+        if valid.sum() < 15:
+            return False
+        frame.mp[:] = NO_MP
+        kf_mps = st.kf_kp_mp[k]
+        for kp_q in np.where(valid)[0]:
+            mp = kf_mps[kp_q]
+            if mp != NO_MP and st.mp_alive[mp]:
+                frame.mp[idx[kp_q]] = mp
+        frame.pose_cw = (
+            self.last_frame.pose_cw.copy()
+            if self.last_frame is not None and self.last_frame.pose_cw is not None
+            else st.kf_pose_cw[k].copy()
+        )
+        return self._pose_opt_frame(frame) >= self.p.min_inliers_motion
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        st = self.store
+        # local keyframes: observers of current points + their neighbors
+        counts: dict[int, int] = {}
+        for m in frame.mp[frame.mp != NO_MP]:
+            for k in st.obs.get(int(m), {}):
+                if st.kf_alive[k]:
+                    counts[k] = counts.get(k, 0) + 1
+        if not counts:
+            return False
+        local_kfs = sorted(counts, key=counts.get, reverse=True)[:80]
+        self.ref_kf = local_kfs[0]
+        for k in list(local_kfs[:10]):
+            for k2 in st.covisible_kfs(k, 10):
+                if k2 not in counts:
+                    local_kfs.append(k2)
+                    counts[k2] = 0
+        # local points
+        seen = set(int(m) for m in frame.mp[frame.mp != NO_MP])
+        local_mps = []
+        for k in local_kfs:
+            for m in st.kf_kp_mp[k]:
+                mi = int(m)
+                if mi != NO_MP and mi not in seen and st.mp_alive[mi]:
+                    seen.add(mi)
+                    local_mps.append(mi)
+                    if len(local_mps) >= self.p.max_local_mps:
+                        break
+        if local_mps:
+            slots, kp_idx, valid, vis = self._match_against_mps(
+                frame, np.asarray(local_mps, np.int32),
+                frame.pose_cw, self.p.local_window_th,
+            )
+            st.increase_visible(slots[vis], log=False)
+            # only claim keypoints not already associated
+            for qi in np.where(valid)[0]:
+                if frame.mp[kp_idx[qi]] == NO_MP:
+                    frame.mp[kp_idx[qi]] = slots[qi]
+        n_inl = self._pose_opt_frame(frame)
+        self.matches_inliers = n_inl
+        tracked = frame.mp[frame.mp != NO_MP]
+        st.increase_found(tracked, log=False)
+        return n_inl >= self.p.min_inliers_local
+
+    def _relocalize(self, frame: Frame) -> bool:
+        st = self.store
+        frame.compute_bow(self.vocab)
+        candidates = self.kfdb.detect_reloc_candidates(frame, st)
+        for k in candidates[:5]:
+            node_m = matching.node_mask(
+                jnp.asarray(st.kf_nodes[k]), jnp.asarray(frame.nodes),
+                jnp.asarray(st.kf_kp_valid[k] & (st.kf_kp_mp[k] != NO_MP)),
+                jnp.asarray(frame.valid),
+            )
+            m = matching.masked_match(
+                jnp.asarray(st.kf_desc[k]), jnp.asarray(frame.desc), node_m,
+                max_dist=matching.TH_LOW, ratio=0.75,
+            )
+            idx = np.asarray(m.idx)
+            valid = np.asarray(m.valid)
+            if valid.sum() < 15:
+                continue
+            # gather 3D-2D correspondences
+            pts, uvs = [], []
+            for kp_q in np.where(valid)[0]:
+                mp = st.kf_kp_mp[k, kp_q]
+                if mp != NO_MP and st.mp_alive[mp]:
+                    pts.append(st.mp_pos[mp])
+                    uvs.append(frame.xy[idx[kp_q]])
+            if len(pts) < 10:
+                continue
+            b = bucket_size(len(pts), 256)
+            pts_p = pad_rows(np.array(pts, np.float32), b)
+            uvs_p = pad_rows(np.array(uvs, np.float32), b)
+            ok_p = np.zeros(b, bool)
+            ok_p[: len(pts)] = True
+            res = pnp.ransac_pnp(
+                jnp.asarray(pts_p), jnp.asarray(uvs_p),
+                jnp.asarray(ok_p), jnp.asarray(frame.K),
+                self._split_key(), min_inliers=self.p.min_inliers_reloc,
+            )
+            if bool(res.success):
+                frame.pose_cw = np.asarray(res.Tcw)
+                frame.mp[:] = NO_MP
+                kf_mps = st.kf_kp_mp[k]
+                for kp_q in np.where(valid)[0]:
+                    mp = kf_mps[kp_q]
+                    if mp != NO_MP and st.mp_alive[mp]:
+                        frame.mp[idx[kp_q]] = mp
+                if self._pose_opt_frame(frame) >= self.p.min_inliers_reloc:
+                    self.ref_kf = k
+                    _log.info("relocalized against kf %d", k)
+                    return True
+        return False
+
+    # ------------------------------------------------------------ keyframe policy
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        st = self.store
+        if self.ref_kf < 0:
+            return False
+        # reference: nMinObs = 3 if nKFs > 2 else 2 (Tracking::NeedNewKeyFrame)
+        min_obs = 3 if st.kf_alive[: st.n_kf].sum() > 2 else 2
+        ref_matches = st.kf_tracked_points(self.ref_kf, min_obs=min_obs)
+        max_frames = self.settings.camera.fps
+        since = frame.frame_id - self.last_kf_frame_id
+        c1 = since >= max_frames
+        c2 = (
+            self.matches_inliers < self.p.kf_ref_ratio * max(ref_matches, 1)
+            and self.matches_inliers > self.p.kf_min_inliers
+        )
+        return (c1 or since >= 1) and c2
+
+    def _create_new_keyframe(self, frame: Frame):
+        k = self._insert_keyframe(frame)
+        self.last_kf_frame_id = frame.frame_id
+        self.ref_kf = k
+        if self.local_mapping is not None:
+            self.local_mapping.insert_keyframe(k)
+
+    # ------------------------------------------------------------------ STS
+    def _update_velocity_stats(self, center: np.ndarray):
+        """Sliding-window mean speed + burst flag
+        (reference: Tracking::UpdateAverageVelocity, Tracking.cc:1364)."""
+        self.centers.append(center.copy())
+        if len(self.centers) < 3:
+            return
+        steps = [
+            float(np.linalg.norm(self.centers[i + 1] - self.centers[i]))
+            for i in range(len(self.centers) - 1)
+        ]
+        self.mean_speed = float(np.mean(steps))
+        self.velocity_burst = steps[-1] > self.p.burst_factor * max(self.mean_speed, 1e-9)
+
+    def system_state(self) -> SystemState:
+        loc = (
+            self.trajectory[-1][1][:3, 3]
+            if self.trajectory
+            else np.zeros(3, np.float32)
+        )
+        return SystemState(
+            location=loc,
+            velocity_burst=self.velocity_burst,
+            stable=self.state == TrackingState.OK,
+            n_tracked=self.matches_inliers,
+            lost_count=self.lost_count,
+        )
+
+    def reset(self):
+        st = self.store
+        st.__init__(map_id=st.map_id, n_kp=st.n_kp, log_fn=st.log_fn)
+        self.kfdb.__init__(self.vocab)
+        self.state = TrackingState.NOT_INITIALIZED
+        self.init_frame = None
+        self.velocity = None
+        self.ref_kf = -1
+        if self.store.log_fn is not None:
+            self.store.log_fn("map", "clear", self.store.map_id, ())
+
+
+def frame_sigma2(st: MapStore, k: int, kp: int, scale: float) -> float:
+    return float(scale ** (2 * st.kf_kp_octave[k, kp]))

@@ -49,6 +49,48 @@ class BAProblem(NamedTuple):
     obs_valid: jnp.ndarray      # [O] bool
 
 
+def build_padded_problem(
+    Tcw, K, cam_fixed, pts, obs_cam, obs_pt, obs_uv, obs_inv_sigma2,
+    min_cams: int = 4, min_pts: int = 256, min_obs: int = 1024,
+) -> "BAProblem":
+    """Host helper: assemble a BAProblem with every axis padded to a
+    power-of-two bucket (one jit compile per bucket combination)."""
+    import numpy as np
+
+    def bucket(n, lo):
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    C, P, O = len(Tcw), len(pts), len(obs_cam)
+    Cb, Pb, Ob = bucket(C, min_cams), bucket(P, min_pts), bucket(O, min_obs)
+
+    def padr(a, n, fill=0):
+        a = np.asarray(a)
+        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    Tcw_p = padr(Tcw, Cb)
+    Tcw_p[C:] = np.eye(4)
+    K_p = padr(K, Cb)
+    K_p[C:] = np.eye(3)
+    return BAProblem(
+        Tcw=jnp.asarray(Tcw_p, jnp.float32),
+        K=jnp.asarray(K_p, jnp.float32),
+        cam_fixed=jnp.asarray(padr(cam_fixed, Cb, False)),
+        cam_valid=jnp.asarray(np.arange(Cb) < C),
+        pts=jnp.asarray(padr(pts, Pb), jnp.float32),
+        pt_valid=jnp.asarray(np.arange(Pb) < P),
+        obs_cam=jnp.asarray(padr(obs_cam, Ob), jnp.int32),
+        obs_pt=jnp.asarray(padr(obs_pt, Ob), jnp.int32),
+        obs_uv=jnp.asarray(padr(obs_uv, Ob), jnp.float32),
+        obs_inv_sigma2=jnp.asarray(padr(obs_inv_sigma2, Ob, 1), jnp.float32),
+        obs_valid=jnp.asarray(np.arange(Ob) < O),
+    )
+
+
 class BAResult(NamedTuple):
     Tcw: jnp.ndarray
     pts: jnp.ndarray

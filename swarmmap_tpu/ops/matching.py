@@ -19,6 +19,7 @@ bins kept) follow the reference matcher.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -70,6 +71,10 @@ def resolve_conflicts(best_idx: jnp.ndarray, dist: jnp.ndarray,
     return valid & win & (first_winner[best_idx] == qi)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_dist", "ratio", "check_rotation", "resolve"),
+)
 def masked_match(
     desc_q: jnp.ndarray,
     desc_t: jnp.ndarray,
@@ -168,6 +173,7 @@ def predicted_octave(
     return jnp.clip(lvl, 0, n_levels - 1)
 
 
+@functools.partial(jax.jit, static_argnames=("hw",))
 def project_to_frame(
     Tcw: jnp.ndarray, K: jnp.ndarray, pts_w: jnp.ndarray,
     hw: tuple[int, int],

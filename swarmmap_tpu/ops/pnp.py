@@ -55,6 +55,12 @@ class PnPResult(NamedTuple):
     inliers: jnp.ndarray   # [N] bool
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chi2_th", "min_inliers")
+)
 def ransac_pnp(
     pts_w: jnp.ndarray,
     uv: jnp.ndarray,

@@ -63,6 +63,10 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray      # [N] f32 (weighted squared error)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "iters", "chi2_th"))
 def pose_optimize(
     Tcw0: jnp.ndarray,
     K: jnp.ndarray,

@@ -223,6 +223,10 @@ def _check_rt(R, t, uv1, uv2, valid, K, sigma2=1.0):
     return good, pts
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("sigma2", "min_triangulated"))
 def reconstruct(
     uv1: jnp.ndarray,
     uv2: jnp.ndarray,

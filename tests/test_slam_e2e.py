@@ -1,0 +1,75 @@
+"""End-to-end single-agent SLAM on the synthetic world, with ATE checks
+(SURVEY.md §4: 'dataset replay as integration test' + evo-style ATE)."""
+import numpy as np
+import pytest
+
+from swarmmap_tpu.core.system import System
+from swarmmap_tpu.core.tracking import TrackingState
+from swarmmap_tpu.utils import datasets
+from swarmmap_tpu.utils.config import CameraConfig, OrbConfig, Settings
+from swarmmap_tpu.utils.trajectory import ate_rmse
+
+
+def small_settings(hw=(240, 320), fps=20.0):
+    h, w = hw
+    return Settings(
+        camera=CameraConfig(fx=230.0, fy=230.0, cx=w / 2.0, cy=h / 2.0,
+                            fps=fps, width=w, height=h),
+        orb=OrbConfig(n_features=400, n_levels=4),
+    )
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    """One tracked synthetic sequence shared by the checks below."""
+    hw = (240, 320)
+    seq = datasets.synthesize_sequence(
+        n_frames=40, hw=hw, seed=0, n_points=350, motion="arc"
+    )
+    # camera in the renderer uses K from make_world: f=460/2? -> match it
+    world = seq.world
+    s = small_settings(hw)
+    s.camera.fx = float(world.K[0, 0])
+    s.camera.fy = float(world.K[1, 1])
+    s.camera.cx = float(world.K[0, 2])
+    s.camera.cy = float(world.K[1, 2])
+    sys = System(s)
+    poses = {}
+    for i in range(len(seq)):
+        T = sys.track_monocular(seq.read(i), seq.timestamps[i])
+        if T is not None:
+            poses[i] = T
+    return sys, seq, poses
+
+
+def test_initializes_and_tracks(slam_run):
+    sys, seq, poses = slam_run
+    assert sys.state == TrackingState.OK
+    assert len(poses) >= 0.6 * len(seq), f"tracked only {len(poses)}/{len(seq)}"
+
+
+def test_map_grows(slam_run):
+    sys, _, _ = slam_run
+    assert sys.n_keyframes() >= 3
+    assert sys.n_map_points() > 100
+
+
+def test_trajectory_accuracy(slam_run):
+    sys, seq, poses = slam_run
+    gt = seq.world.poses_wc
+    idx = sorted(poses)
+    est_t = np.stack([np.linalg.inv(poses[i])[:3, 3] for i in idx])
+    gt_t = gt[idx][:, :3, 3]
+    rmse = ate_rmse(est_t, gt_t)
+    # trajectory spans ~4.5m; demand sub-5% ATE
+    span = np.linalg.norm(gt_t.max(0) - gt_t.min(0))
+    assert rmse < 0.05 * span, f"ATE {rmse:.3f} vs span {span:.2f}"
+
+
+def test_trajectory_io(tmp_path, slam_run):
+    sys, _, _ = slam_run
+    p = tmp_path / "kf.txt"
+    sys.save_keyframe_trajectory_tum(p)
+    txt = p.read_text().strip().splitlines()
+    assert len(txt) == sys.n_keyframes()
+    assert len(txt[0].split()) == 8
