@@ -1,0 +1,66 @@
+"""Driver benchmark: 3-agent EuRoC-geometry tracking throughput on TPU.
+
+Measures the fused per-frame tracking program (ORB extraction at 752x480,
+1000 features, 8 pyramid levels + guided matching against a 2048-point
+local map + LM pose optimization) batched over 3 agents — the workload
+shape of the reference's headline 3-agent EuRoC MH01-03 configuration
+(BASELINE.md).  Baseline bar: EuRoC camera rate (20 fps/agent = real
+time); the reference's own north-star target is 2x that.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+N_AGENTS = 3
+HW = (480, 752)
+N_FEATURES = 1000
+N_LEVELS = 8
+N_MAP_POINTS = 2048
+BASELINE_FPS = 20.0  # EuRoC camera rate -> real-time bar (BASELINE.md)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from swarmmap_tpu import pipeline
+
+    step = pipeline.make_multi_agent_step(
+        n_features=N_FEATURES, n_levels=N_LEVELS, scale=1.2, hw=HW
+    )
+    single = [
+        pipeline.example_track_inputs(hw=HW, n_map_points=N_MAP_POINTS, seed=i)
+        for i in range(N_AGENTS)
+    ]
+    batched = pipeline.TrackInputs(
+        *(jnp.stack([getattr(s, f) for s in single]) for f in single[0]._fields)
+    )
+
+    # warmup / compile
+    out = step(batched)
+    jax.block_until_ready(out[0])
+
+    best = 0.0
+    for _ in range(3):
+        n_iter = 30
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = step(batched)
+        jax.block_until_ready(out[0])
+        dt = (time.perf_counter() - t0) / n_iter
+        fps_per_agent = 1.0 / dt  # all agents advance one frame per step
+        best = max(best, fps_per_agent)
+
+    print(json.dumps({
+        "metric": "tracking_fps_per_agent_3agent_euroc_geom",
+        "value": round(best, 2),
+        "unit": "frames/s/agent",
+        "vs_baseline": round(best / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""Single-agent dataset runners (reference: mono_tum / mono_euroc /
+mono_kitti .cc — classic ORB-SLAM2 runners without networking).
+
+    python -m swarmmap_tpu.cli.mono --synthetic --frames 80
+    python -m swarmmap_tpu.cli.mono -d config/fr2-desk.yaml
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from ..core.system import System
+from ..utils.logging import get_logger
+from .common import base_parser, load_vocab, load_world
+
+_log = get_logger("mono")
+
+
+def main(argv=None):
+    p = base_parser("swarmmap-tpu single-agent monocular SLAM")
+    args = p.parse_args(argv)
+    settings, seqs = load_world(args, 1)
+    vocab = load_vocab(args.voc)
+    sys_ = System(settings, vocab)
+    seq = seqs[0]
+    t0 = time.time()
+    tracked = 0
+    for i in range(len(seq)):
+        pose = sys_.track_monocular(seq.read(i), float(seq.timestamps[i]))
+        tracked += pose is not None
+    wall = time.time() - t0
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    sys_.save_keyframe_trajectory_tum(out / "KeyFrameTrajectory.txt")
+    sys_.save_frame_trajectory_tum(out / "FrameTrajectory.txt")
+    _log.info("tracked %d/%d frames in %.1fs (%.1f fps) — kf=%d mp=%d",
+              tracked, len(seq), wall, len(seq) / wall,
+              sys_.n_keyframes(), sys_.n_map_points())
+    return sys_
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Fused device pipelines — the flagship per-frame program.
+
+The reference splits a frame across CUDA kernels, CPU matcher loops, and
+g2o (SURVEY.md §3.1).  Here the entire hot path of one tracked frame is
+ONE XLA program (extraction -> guided matching against the local map ->
+LM pose optimization), so per-frame host<->device traffic is a single
+dispatch (SURVEY.md §7.4 hard part #5: latency discipline).
+
+`multi_agent_step` is the same program vmapped over the agent axis and
+shardable over a device mesh — the TPU-native answer to the reference's
+one-thread-per-agent combined mode (SURVEY.md §2.10: agent data
+parallelism).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops import extractor, matching, pose_opt
+
+
+class TrackInputs(NamedTuple):
+    image: jnp.ndarray        # [H,W] uint8
+    Tcw_guess: jnp.ndarray    # [4,4]
+    K: jnp.ndarray            # [3,3]
+    mp_pos: jnp.ndarray       # [M,3] local-map points
+    mp_desc: jnp.ndarray      # [M,8] u32
+    mp_max_dist: jnp.ndarray  # [M]
+    mp_valid: jnp.ndarray     # [M] bool
+
+
+class TrackOutputs(NamedTuple):
+    Tcw: jnp.ndarray          # [4,4] optimized pose
+    n_inliers: jnp.ndarray    # scalar i32
+    match_mp: jnp.ndarray     # [N_kp] i32 map-point index per keypoint (-1 none)
+    features: extractor.FrameFeatures
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_features", "n_levels", "scale", "hw", "window_th"),
+)
+def tracking_step(
+    inp: TrackInputs,
+    n_features: int = 1000,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    hw: tuple[int, int] = (480, 752),
+    window_th: float = 15.0,
+) -> TrackOutputs:
+    """One full tracked frame as a single XLA program."""
+    feats = extractor.extract_orb(
+        inp.image, n_features=n_features, n_levels=n_levels, scale=scale
+    )
+    uv, depth, visible = matching.project_to_frame(
+        inp.Tcw_guess, inp.K, inp.mp_pos, hw
+    )
+    visible = visible & inp.mp_valid
+    pred_oct = matching.predicted_octave(depth, inp.mp_max_dist, scale, n_levels)
+    radius = window_th * jnp.asarray(scale) ** pred_oct.astype(jnp.float32)
+    mask = matching.window_mask(
+        uv, feats.xy, radius, visible, feats.valid,
+        t_octave=feats.octave, oct_lo=pred_oct - 1, oct_hi=pred_oct + 1,
+    )
+    m = matching.masked_match(
+        inp.mp_desc, feats.desc, mask, max_dist=matching.TH_HIGH, ratio=0.0
+    )
+    # invert matches: per-keypoint map-point index
+    n_kp = feats.xy.shape[0]
+    match_mp = jnp.full((n_kp,), -1, jnp.int32)
+    mp_ids = jnp.arange(inp.mp_pos.shape[0], dtype=jnp.int32)
+    match_mp = match_mp.at[m.idx].set(jnp.where(m.valid, mp_ids, -1))
+    # pose optimization over matched keypoints
+    kp_mp = jnp.clip(match_mp, 0, inp.mp_pos.shape[0] - 1)
+    valid = (match_mp >= 0) & feats.valid
+    sig2 = jnp.asarray(scale, jnp.float32) ** (2.0 * feats.octave.astype(jnp.float32))
+    res = pose_opt.pose_optimize(
+        inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], feats.xy,
+        1.0 / sig2, valid, rounds=4, iters=10,
+    )
+    return TrackOutputs(
+        Tcw=res.Tcw,
+        n_inliers=res.inliers.sum().astype(jnp.int32),
+        match_mp=jnp.where(res.inliers, match_mp, -1),
+        features=feats,
+    )
+
+
+def make_multi_agent_step(
+    n_features: int = 1000,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    hw: tuple[int, int] = (480, 752),
+    mesh: jax.sharding.Mesh | None = None,
+):
+    """vmapped (and optionally mesh-sharded) multi-agent tracking step.
+
+    With a mesh, agents shard across devices ('agents' axis) and a
+    cross-agent overlap statistic rides the ICI: every agent's descriptor
+    popcounts are all-gathered and reduced — the device-resident analogue
+    of the server's cross-agent place recognition fan-in."""
+
+    def one_agent(inp: TrackInputs):
+        out = tracking_step(
+            inp, n_features=n_features, n_levels=n_levels, scale=scale, hw=hw
+        )
+        return out.Tcw, out.n_inliers, out.match_mp
+
+    batched = jax.vmap(one_agent)
+
+    if mesh is None:
+        return jax.jit(batched)
+
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def sharded(inputs: TrackInputs):
+        Tcw, n_inl, match = batched(inputs)
+        # cross-agent fan-in over ICI: global inlier statistics (psum over
+        # the agent-sharded axis via all_gather of the local results)
+        total = jax.lax.psum(n_inl.sum(), axis_name="agents")
+        return Tcw, n_inl, match, total
+
+    spec = TrackInputs(
+        image=P("agents"), Tcw_guess=P("agents"), K=P("agents"),
+        mp_pos=P("agents"), mp_desc=P("agents"), mp_max_dist=P("agents"),
+        mp_valid=P("agents"),
+    )
+    fn = shard_map(
+        sharded, mesh=mesh,
+        in_specs=(spec,),
+        out_specs=(P("agents"), P("agents"), P("agents"), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def example_track_inputs(
+    hw: tuple[int, int] = (480, 752), n_map_points: int = 2048, seed: int = 0
+) -> TrackInputs:
+    """Deterministic example inputs (used by bench + the graft entry)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    img = rng.randint(0, 255, (h, w)).astype(np.uint8)
+    K = np.array([[458.0, 0, w / 2], [0, 457.0, h / 2], [0, 0, 1]], np.float32)
+    pts = np.stack(
+        [rng.uniform(-4, 4, n_map_points), rng.uniform(-3, 3, n_map_points),
+         rng.uniform(3, 10, n_map_points)], 1,
+    ).astype(np.float32)
+    return TrackInputs(
+        image=jnp.asarray(img),
+        Tcw_guess=jnp.eye(4, dtype=jnp.float32),
+        K=jnp.asarray(K),
+        mp_pos=jnp.asarray(pts),
+        mp_desc=jnp.asarray(rng.randint(0, 2**32, (n_map_points, 8), dtype=np.uint32)),
+        mp_max_dist=jnp.full((n_map_points,), 12.0, jnp.float32),
+        mp_valid=jnp.ones((n_map_points,), bool),
+    )

@@ -1,0 +1,240 @@
+"""Per-client server-side agent replica.
+
+Reference spec: AgentMediator (/root/reference/code/src/AgentMediator.cc) —
+owns the replica map + keyframe database + a loop closer (no tracking);
+static registry of all mediators' databases for incremental cross-agent
+place recognition (CheckOverlapCandidates, :140-202): every new keyframe
+of one map is queried against all OTHER agents' databases, consistency-
+checked, then GetSim3 (:204-382): SearchByBoW >=20 matches -> Sim3Solver
+RANSAC -> umeyama alignment -> OptimizeSim3 >=40 inliers ->
+Mapit::Merge + map segmentation.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.keyframe_db import KeyFrameDatabase
+from ..core.map_store import NO_MP, MapStore
+from ..ops import matching, sim3 as sim3_ops, sim3_opt
+from ..ops.vocab import Vocabulary
+from ..sync import codec
+from ..sync.oplog import Mapit, MapSlice, full_archive
+from ..utils.logging import get_logger
+from ..utils.padding import bucket_size, pad_rows
+from .landmark_scoring import LandmarkScoring
+from .loop_closing import LoopClosing
+from .map_enhancer import MapEnhancer
+from .map_manager import MapManager
+
+_log = get_logger("mediator")
+
+MIN_SEG_LENGTH = 8  # reference: AgentMediator.cc:574
+
+
+class AgentMediator:
+    """Server-side replica of one client's map."""
+
+    registry: dict[int, "AgentMediator"] = {}  # reference: databaseMap (:31)
+
+    def __init__(self, map_id: int, vocab: Vocabulary, map_manager: MapManager,
+                 n_kp: int = 1024, scale_factor: float = 1.2, n_levels: int = 8,
+                 run_global_ba: bool = False, min_merge_inliers: int = 40):
+        self.map_id = map_id
+        self.vocab = vocab
+        self.store = MapStore(map_id=map_id, n_kp=n_kp, is_server=True)
+        self.mapit = Mapit(self.store)
+        self.kfdb = KeyFrameDatabase(vocab)
+        self.scoring = LandmarkScoring(self.store)
+        self.enhancer = MapEnhancer(self.store, self.scoring,
+                                    scale_factor, n_levels)
+        self.loop_closing = LoopClosing(
+            self.store, self.kfdb, scale_factor, n_levels,
+            run_global_ba=run_global_ba,
+        )
+        self.map_manager = map_manager
+        self.scale_factor = scale_factor
+        self.n_levels = n_levels
+        self.min_merge_inliers = min_merge_inliers
+        self.state = None  # last reported SystemState
+        self._key = jax.random.PRNGKey(1000 + map_id)
+        self.overlap_consistency: dict[tuple[int, int], int] = {}
+        map_manager.register(self.store)
+        AgentMediator.registry[map_id] = self
+
+    def _split_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------------
+    def set_state(self, state):
+        self.state = state
+
+    def on_push(self, sl: MapSlice) -> list[int]:
+        """Apply a client push; returns new keyframe slots; loop-closer
+        keyframes are collected through the AddLoopClosing map events."""
+        st = self.store
+        n_before = st.n_kf
+        loop_kfs: list[int] = []
+
+        def on_map_event(func, target, args):
+            if func == "AddLoopClosing":
+                k = st.kf_by_gid.get(target)
+                if k is not None:
+                    loop_kfs.append(k)
+            elif func == "clear":
+                _log.warning("client %d cleared its map", self.map_id)
+
+        self.mapit.apply_slice(sl, vocab=self.vocab, on_map_event=on_map_event)
+        new_slots = list(range(n_before, st.n_kf))
+        for k in new_slots:
+            self.kfdb.add(st, k)
+        for k in loop_kfs:
+            self.loop_closing.process_keyframe(k)
+        return new_slots
+
+    # ------------------------------------------------------------------ overlap
+    def check_overlap_candidates(self, new_kf_slots: list[int],
+                                 consistency_th: int = 2) -> bool:
+        """Cross-agent place recognition: query every OTHER mediator's
+        database with our new keyframes (reference:
+        AgentMediator::CheckOverlapCandidates)."""
+        st = self.store
+        merged = False
+        for k in new_kf_slots:
+            if not st.kf_alive[k]:
+                continue
+            bow = self.kfdb.bow.get(k, {})
+            words = st.kf_words[k]
+            for other_id, other in AgentMediator.registry.items():
+                if other_id == self.map_id:
+                    continue
+                if other.store.group_id == st.group_id:
+                    continue  # already merged
+                cands = other.kfdb.detect_candidates(
+                    bow, words, other.store, min_score=0.015,
+                )
+                for cand in cands[:3]:
+                    key = (other_id, cand)
+                    self.overlap_consistency[key] = (
+                        self.overlap_consistency.get(key, 0) + 1
+                    )
+                    if self.overlap_consistency[key] < consistency_th:
+                        continue
+                    res = self.get_sim3(k, other, cand)
+                    if res is not None:
+                        s, R, t = res
+                        # S12 takes other's LOCAL coords into our LOCAL
+                        # coords (both via camera frames):
+                        # S_1l2l = T_1w^-1 * S_c1c2 * T_2w
+                        T1 = st.kf_pose_cw[k]
+                        T2 = other.store.kf_pose_cw[cand]
+                        R1i, t1i = T1[:3, :3].T, -T1[:3, :3].T @ T1[:3, 3]
+                        # S = T1^-1 ∘ (s,R,t) ∘ T2
+                        R_a = R1i @ R @ T2[:3, :3]
+                        t_a = R1i @ (s * (R @ T2[:3, 3]) + t) + t1i
+                        s_a = s
+                        merged |= self.map_manager.merge(
+                            self.map_id, other_id, s_a, R_a, t_a
+                        )
+                        if merged:
+                            self.overlap_consistency.clear()
+                            return True
+        return merged
+
+    def get_sim3(self, k: int, other: "AgentMediator", cand: int):
+        """Sim3 between our kf k and other's kf cand
+        (reference: AgentMediator::GetSim3 — BoW match, RANSAC+umeyama,
+        OptimizeSim3 acceptance)."""
+        st1, st2 = self.store, other.store
+        node_m = matching.node_mask(
+            jnp.asarray(st1.kf_nodes[k]), jnp.asarray(st2.kf_nodes[cand]),
+            jnp.asarray(st1.kf_kp_valid[k] & (st1.kf_kp_mp[k] != NO_MP)),
+            jnp.asarray(st2.kf_kp_valid[cand] & (st2.kf_kp_mp[cand] != NO_MP)),
+        )
+        m = matching.masked_match(
+            jnp.asarray(st1.kf_desc[k]), jnp.asarray(st2.kf_desc[cand]), node_m,
+            max_dist=matching.TH_LOW, ratio=0.75,
+        )
+        idx = np.asarray(m.idx)
+        valid = np.asarray(m.valid)
+        if valid.sum() < 20:
+            return None
+        kq = np.where(valid)[0]
+        mp1 = st1.kf_kp_mp[k, kq]
+        mp2 = st2.kf_kp_mp[cand, idx[kq]]
+        ok = (mp1 != NO_MP) & (mp2 != NO_MP) & st1.mp_alive[mp1] & st2.mp_alive[mp2]
+        mp1, mp2, kq = mp1[ok], mp2[ok], kq[ok]
+        if len(mp1) < 20:
+            return None
+        T1, T2 = st1.kf_pose_cw[k], st2.kf_pose_cw[cand]
+        pc1 = st1.mp_pos[mp1] @ T1[:3, :3].T + T1[:3, 3]
+        pc2 = st2.mp_pos[mp2] @ T2[:3, :3].T + T2[:3, 3]
+        b = bucket_size(len(pc1), 128)
+        okp = np.zeros(b, bool)
+        okp[: len(pc1)] = True
+        # per-point chi2 gates scaled by keypoint octave (reference:
+        # Sim3Solver uses 9.21 * sigma2 per correspondence)
+        sig2_1 = self.scale_factor ** (2.0 * st1.kf_kp_octave[k][kq])
+        sig2_2 = self.scale_factor ** (2.0 * st2.kf_kp_octave[cand][idx[kq]])
+        chi2_1 = pad_rows((9.21 * sig2_1).astype(np.float32), b)
+        chi2_2 = pad_rows((9.21 * sig2_2).astype(np.float32), b)
+        chi2_1[len(pc1):] = 9.21
+        chi2_2[len(pc1):] = 9.21
+        res = sim3_ops.ransac_sim3(
+            jnp.asarray(pad_rows(pc1.astype(np.float32), b)),
+            jnp.asarray(pad_rows(pc2.astype(np.float32), b)),
+            jnp.asarray(okp), jnp.asarray(st1.kf_K[k]),
+            jnp.asarray(st2.kf_K[cand]), self._split_key(),
+            chi2_1=jnp.asarray(chi2_1), chi2_2=jnp.asarray(chi2_2),
+            min_inliers=20,
+        )
+        if not bool(res.success):
+            return None
+        uv1 = st1.kf_kp_uv[k][kq]
+        uv2 = st2.kf_kp_uv[cand][idx[kq]]
+        is2_1 = 1.0 / sig2_1
+        is2_2 = 1.0 / sig2_2
+        opt = sim3_opt.optimize_sim3(
+            res.s, res.R, res.t,
+            jnp.asarray(pad_rows(pc1.astype(np.float32), b)),
+            jnp.asarray(pad_rows(pc2.astype(np.float32), b)),
+            jnp.asarray(pad_rows(uv1.astype(np.float32), b)),
+            jnp.asarray(pad_rows(uv2.astype(np.float32), b)),
+            jnp.asarray(pad_rows(is2_1.astype(np.float32), b)),
+            jnp.asarray(pad_rows(is2_2.astype(np.float32), b)),
+            jnp.asarray(okp), jnp.asarray(st1.kf_K[k]), jnp.asarray(st2.kf_K[cand]),
+        )
+        # reference accepts >=40 inliers for cross-map merges (:342);
+        # threshold scales with the per-frame feature budget
+        if int(opt.n_inliers) < self.min_merge_inliers:
+            return None
+        _log.info("cross-map sim3: map %d kf %d <-> map %d kf %d (%d inliers, s=%.3f)",
+                  self.map_id, k, other.map_id, cand, int(opt.n_inliers), float(opt.s))
+        return float(opt.s), np.asarray(opt.R), np.asarray(opt.t)
+
+    # ------------------------------------------------------------------
+    def segment_map(self) -> list[list[int]]:
+        """Split the map into >=MIN_SEG_LENGTH keyframe slices at loop-
+        closure boundaries (reference: SegmentMapByKeyFrame, :544-588)."""
+        st = self.store
+        kfs = sorted(st.alive_kf_slots())
+        segments: list[list[int]] = []
+        cur: list[int] = []
+        for k in kfs:
+            cur.append(int(k))
+            if st.kf_loop_edges.get(int(k)) and len(cur) >= MIN_SEG_LENGTH:
+                segments.append(cur)
+                cur = []
+        if cur:
+            if segments and len(cur) < MIN_SEG_LENGTH:
+                segments[-1].extend(cur)
+            else:
+                segments.append(cur)
+        return segments
+
+    def save_map(self, path) -> None:
+        from pathlib import Path
+
+        Path(path).write_bytes(codec.encode_slice(full_archive(self.store)))

@@ -1,0 +1,143 @@
+"""STS — SLAM-specific task scheduling.
+
+Reference spec: MediatorScheduler (/root/reference/code/src/MediatorScheduler.cc)
+— singleton priority-queue scheduler with three virtual queues
+(comparator :19-42):
+  0. lost handling      — agents whose tracking is unstable/lost
+  1. lost prevention    — velocity burst or nTracked < 20
+  2. map enrichment     — by MBP contribution score
+ProcessRequest (:97-128): ReceivePush -> global overlap check -> Rank ->
+MBP virtual keyframe -> Compress -> GlobalBundleAdjustment(10) ->
+MapDistribute.
+"""
+from __future__ import annotations
+
+import heapq
+import itertools
+import threading
+from typing import Callable
+
+from ..sync import codec
+from ..sync.oplog import MapSlice
+from ..utils.logging import get_logger
+from .map_manager import MapManager
+from .mediator import AgentMediator
+
+_log = get_logger("scheduler")
+
+LOW_TRACKED_TH = 20  # reference comparator: nTracked < 20 => lost prevention
+
+
+class MediatorScheduler:
+    """The server's single processing queue over all agents' pushes."""
+
+    def __init__(self, map_manager: MapManager | None = None,
+                 distribute_fn: Callable[[int, bytes], None] | None = None,
+                 gba_iters: int = 10):
+        self.map_manager = map_manager or MapManager()
+        self.mediators: dict[int, AgentMediator] = {}
+        self.distribute_fn = distribute_fn  # (agent_id, payload) -> None
+        self.gba_iters = gba_iters
+        self._heap: list = []
+        self._seq = itertools.count()
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._worker: threading.Thread | None = None
+        self._stop = False
+        self.processed = 0
+
+    def register_mediator(self, med: AgentMediator):
+        self.mediators[med.map_id] = med
+
+    # ------------------------------------------------------------------ enqueue
+    def _priority(self, med: AgentMediator, sl: MapSlice) -> tuple:
+        """Smaller sorts first: (queue_class, -contribution, seq)."""
+        state = med.state
+        if state is not None and not state.stable:
+            qclass = 0                      # lost handling
+        elif state is not None and (state.velocity_burst
+                                    or state.n_tracked < LOW_TRACKED_TH):
+            qclass = 1                      # lost prevention
+        else:
+            qclass = 2                      # map enrichment
+        contrib = med.scoring.request_priority(len(sl.kfs) + len(sl.mps))
+        return (qclass, -contrib, next(self._seq))
+
+    def enqueue_request(self, agent_id: int, payload: bytes):
+        med = self.mediators.get(agent_id)
+        if med is None:
+            _log.warning("push from unknown agent %d", agent_id)
+            return
+        sl = codec.decode_slice(payload)
+        prio = self._priority(med, sl)
+        with self._cv:
+            heapq.heappush(self._heap, (prio, agent_id, sl))
+            self._cv.notify()
+
+    def report_state(self, agent_id: int, state):
+        med = self.mediators.get(agent_id)
+        if med is not None:
+            med.set_state(state)
+
+    # ------------------------------------------------------------------ process
+    def process_request(self, agent_id: int, sl: MapSlice):
+        """One full server pass (reference: ProcessRequest)."""
+        med = self.mediators[agent_id]
+        new_kfs = med.on_push(sl)                       # ReceivePush
+        med.check_overlap_candidates(new_kfs)           # global overlap
+        med.scoring.rank()                              # MBP Rank
+        vk = med.enhancer.get_virtual_keyframe(new_kfs) # MBP virtual KF
+        if vk is not None and med.kfdb is not None:
+            med.kfdb.add(med.store, vk)
+        med.enhancer.compress()                         # MBP compress
+        if len(new_kfs) > 0:
+            med.loop_closing.global_ba(self.gba_iters)  # GBA(10)
+        self.map_distribute(agent_id)
+        self.processed += 1
+
+    def map_distribute(self, agent_id: int):
+        """Ship the server-side delta (rebased poses, virtual KFs, fused
+        points) back to the client (reference: MapDistribute)."""
+        med = self.mediators[agent_id]
+        sl = med.mapit.archive()
+        if not any(sl.counts()) and sl.twl is None:
+            return
+        payload = codec.encode_slice(sl)
+        if self.distribute_fn is not None:
+            self.distribute_fn(agent_id, payload)
+
+    # ------------------------------------------------------------------ worker
+    def process_pending(self) -> int:
+        """Drain the queue synchronously (combined mode / tests)."""
+        n = 0
+        while True:
+            with self._cv:
+                if not self._heap:
+                    return n
+                _, agent_id, sl = heapq.heappop(self._heap)
+            self.process_request(agent_id, sl)
+            n += 1
+
+    def start_worker(self):
+        def run():
+            while not self._stop:
+                with self._cv:
+                    while not self._heap and not self._stop:
+                        self._cv.wait(0.1)
+                    if self._stop:
+                        return
+                    _, agent_id, sl = heapq.heappop(self._heap)
+                try:
+                    self.process_request(agent_id, sl)
+                except Exception:  # noqa: BLE001 — worker must survive
+                    _log.exception("request processing failed for agent %d", agent_id)
+
+        self._worker = threading.Thread(target=run, daemon=True)
+        self._worker.start()
+
+    def stop(self):
+        self._stop = True
+        with self._cv:
+            self._cv.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout=5)

@@ -1,0 +1,161 @@
+"""In-process multi-agent harness (combined mode).
+
+Reference spec: Examples/Monocular/swarm_map.cc — N clients + N mediators
++ the global scheduler in ONE process, stepped frame-by-frame, with state
+reports every 500 ms and map pushes every 2 s (:122-164).  The reference
+wires them through loopback websockets; this harness calls the same
+request handlers directly (the websocket transport lives in net/ and is
+exercised by the standalone client/server CLIs).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .core.system import System
+from .core.tracking import TrackingParams
+from .ops.vocab import Vocabulary, default_vocabulary
+from .server.map_manager import MapManager
+from .server.mediator import AgentMediator
+from .server.scheduler import MediatorScheduler
+from .sync import codec
+from .sync.oplog import Mapit
+from .utils.config import Settings
+from .utils.logging import get_logger
+
+_log = get_logger("swarm")
+
+
+class SwarmAgent:
+    """Client-side stack: SLAM system + change-log + sync endpoints."""
+
+    def __init__(self, agent_id: int, settings: Settings, vocab: Vocabulary,
+                 tracking_params: TrackingParams | None = None):
+        self.agent_id = agent_id
+        self.system = System(settings, vocab, map_id=agent_id,
+                             tracking_params=tracking_params, rng_seed=agent_id)
+        self.mapit = Mapit(self.system.store)
+        self.vocab = vocab
+        self.frames_tracked = 0
+        self.bytes_pushed = 0
+
+    def track(self, image: np.ndarray, ts: float):
+        pose = self.system.track_monocular(image, ts)
+        if pose is not None:
+            self.frames_tracked += 1
+        return pose
+
+    def state_payload(self) -> bytes:
+        return codec.encode_state(self.system.get_system_state())
+
+    def push_payload(self) -> bytes | None:
+        sl = self.mapit.archive()
+        if not any(sl.counts()) and sl.twl is None:
+            return None
+        data = codec.encode_slice(sl)
+        self.bytes_pushed += len(data)
+        return data
+
+    def receive_distribute(self, payload: bytes):
+        sl = codec.decode_slice(payload)
+        self.mapit.apply_slice(sl, vocab=self.vocab)
+
+
+@dataclasses.dataclass
+class SwarmConfig:
+    push_every: int = 20        # frames between map pushes (~2 s at 20 fps)
+    report_every: int = 10      # frames between state reports (~500 ms)
+
+
+class Swarm:
+    """N agents + per-agent mediators + the STS scheduler, in-process."""
+
+    def __init__(self, n_agents: int, settings: Settings,
+                 vocab: Vocabulary | None = None,
+                 config: SwarmConfig | None = None,
+                 tracking_params: TrackingParams | None = None,
+                 run_server_gba: bool = True):
+        self.vocab = vocab or default_vocabulary()
+        self.config = config or SwarmConfig()
+        self.settings = settings
+        AgentMediator.registry.clear()
+        self.map_manager = MapManager()
+        self.scheduler = MediatorScheduler(
+            self.map_manager, distribute_fn=self._distribute,
+            gba_iters=10 if run_server_gba else 0,
+        )
+        n_kp = ((settings.orb.n_features + 127) // 128) * 128
+        self.agents = [
+            SwarmAgent(i, settings, self.vocab, tracking_params)
+            for i in range(n_agents)
+        ]
+        self.mediators = []
+        # merge-acceptance threshold scales with the feature budget (the
+        # reference's 40 assumes 1000 features/frame)
+        min_merge = max(20, int(40 * settings.orb.n_features / 1000))
+        for i in range(n_agents):
+            med = AgentMediator(
+                i, self.vocab, self.map_manager, n_kp=n_kp,
+                scale_factor=settings.orb.scale_factor,
+                n_levels=settings.orb.n_levels,
+                min_merge_inliers=min_merge,
+            )
+            self.scheduler.register_mediator(med)
+            self.mediators.append(med)
+        self._pending_distribute: dict[int, list[bytes]] = {i: [] for i in range(n_agents)}
+        self.frame_count = 0
+
+    # -- transport (loopback function calls) --------------------------------
+    def _distribute(self, agent_id: int, payload: bytes):
+        self._pending_distribute[agent_id].append(payload)
+
+    # -- stepping ------------------------------------------------------------
+    def step(self, images: list[np.ndarray | None], ts: float):
+        """Advance every agent by one frame and run the sync cadence."""
+        for agent, img in zip(self.agents, images):
+            if img is None:
+                continue
+            agent.track(img, ts)
+        self.frame_count += 1
+        if self.frame_count % self.config.report_every == 0:
+            for agent in self.agents:
+                self.scheduler.report_state(
+                    agent.agent_id, agent.system.get_system_state()
+                )
+        if self.frame_count % self.config.push_every == 0:
+            self.sync()
+
+    def sync(self):
+        """Push all agents' deltas, run the scheduler, deliver replies."""
+        for agent in self.agents:
+            payload = agent.push_payload()
+            if payload is not None:
+                self.scheduler.enqueue_request(agent.agent_id, payload)
+        self.scheduler.process_pending()
+        for agent in self.agents:
+            for payload in self._pending_distribute[agent.agent_id]:
+                agent.receive_distribute(payload)
+            self._pending_distribute[agent.agent_id].clear()
+
+    def finish(self):
+        """Final flush (reference stops after 6 empty pushes; one final
+        sync is enough for the synchronous harness)."""
+        self.sync()
+
+    # -- outputs ---------------------------------------------------------------
+    def merged_groups(self) -> list[set[int]]:
+        return [set(v) for v in self.map_manager.groups.values()]
+
+    def save_outputs(self, out_dir):
+        from pathlib import Path
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for agent in self.agents:
+            agent.system.save_keyframe_trajectory_tum(
+                out / f"KeyFrameTrajectory-client-{agent.agent_id}.txt"
+            )
+        for med in self.mediators:
+            med.save_map(out / f"map-server-{med.map_id}.bin")
+        self.map_manager.save_global_trajectories(out)

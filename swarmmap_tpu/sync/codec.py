@@ -1,0 +1,140 @@
+"""Wire codec for map slices, requests, and system state.
+
+Reference counterpart: BoostArchiver.h + MapUpdater::Serialize — the
+reference ships boost TEXT archives over websockets (MapUpdater.cc:196).
+This rebuild uses a compact msgpack binary layout (numpy arrays as
+dtype/shape/bytes triples), which is both the wire format and the map
+file format.  Boost-text bit-compatibility for interop with reference
+binaries is tracked in PARITY.md — it matters only when mixing reference
+and rebuild processes in one swarm.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import msgpack
+import numpy as np
+
+from .oplog import MapSlice, UpdateRecord
+
+WIRE_VERSION = 1
+
+
+# --------------------------------------------------------------------------
+# numpy-aware msgpack
+# --------------------------------------------------------------------------
+
+def _default(obj):
+    if isinstance(obj, np.ndarray):
+        return {
+            b"__nd__": True,
+            b"d": obj.dtype.str,
+            b"s": list(obj.shape),
+            b"b": obj.tobytes(),
+        }
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, (np.bool_,)):
+        return bool(obj)
+    raise TypeError(f"unserializable: {type(obj)}")
+
+
+def _object_hook(obj):
+    if b"__nd__" in obj or "__nd__" in obj:
+        d = obj.get(b"d", obj.get("d"))
+        s = obj.get(b"s", obj.get("s"))
+        b = obj.get(b"b", obj.get("b"))
+        return np.frombuffer(b, dtype=np.dtype(d)).reshape(s).copy()
+    return obj
+
+
+def pack(obj: Any) -> bytes:
+    return msgpack.packb(obj, default=_default, use_bin_type=True)
+
+
+def unpack(data: bytes) -> Any:
+    return msgpack.unpackb(data, object_hook=_object_hook, raw=False,
+                           strict_map_key=False)
+
+
+# --------------------------------------------------------------------------
+# MapSlice
+# --------------------------------------------------------------------------
+
+def _update_to_wire(r: UpdateRecord) -> list:
+    return [r.seq, r.kind, r.func, r.target, list(r.args)]
+
+
+def _update_from_wire(x: list) -> UpdateRecord:
+    return UpdateRecord(seq=x[0], kind=x[1], func=x[2], target=x[3],
+                        args=tuple(x[4]))
+
+
+def encode_slice(sl: MapSlice) -> bytes:
+    return pack({
+        "v": WIRE_VERSION,
+        "map_id": sl.map_id,
+        "kfs": sl.kfs,
+        "mps": sl.mps,
+        "updates": [_update_to_wire(u) for u in sl.updates],
+        "twl": list(sl.twl) if sl.twl is not None else None,
+    })
+
+
+def decode_slice(data: bytes) -> MapSlice:
+    d = unpack(data)
+    assert d["v"] == WIRE_VERSION, f"wire version mismatch: {d['v']}"
+    kfs = [{k: _fix_tuple(k, v) for k, v in p.items()} for p in d["kfs"]]
+    return MapSlice(
+        map_id=d["map_id"],
+        kfs=kfs,
+        mps=d["mps"],
+        updates=[_update_from_wire(u) for u in d["updates"]],
+        twl=tuple(d["twl"]) if d["twl"] is not None else None,
+    )
+
+
+def _fix_tuple(key, v):
+    return tuple(v) if key == "hw" else v
+
+
+# --------------------------------------------------------------------------
+# Request / SystemState (reference: WebSocket.h:22-29, BoostArchiver.h:269-286)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Request:
+    src: int
+    dst: int
+    path: str        # ReportState | PushMap | DistributeMap | Register ...
+    body: bytes
+
+    def encode(self) -> bytes:
+        return pack([self.src, self.dst, self.path, self.body])
+
+    @classmethod
+    def decode(cls, data: bytes) -> "Request":
+        src, dst, path, body = unpack(data)
+        return cls(src=src, dst=dst, path=path, body=body)
+
+
+def encode_state(state) -> bytes:
+    """SystemState (core.tracking.SystemState) -> bytes."""
+    return pack([
+        np.asarray(state.location, np.float32),
+        bool(state.velocity_burst),
+        bool(state.stable),
+        int(state.n_tracked),
+        int(state.lost_count),
+    ])
+
+
+def decode_state(data: bytes):
+    from ..core.tracking import SystemState
+
+    loc, burst, stable, n_tracked, lost = unpack(data)
+    return SystemState(location=loc, velocity_burst=burst, stable=stable,
+                       n_tracked=n_tracked, lost_count=lost)

@@ -1,0 +1,343 @@
+"""Change-log map synchronization ("Mapit" — the git-like push/pull).
+
+Reference spec:
+  - update records + funcName vocabulary: include/MapElementUpdate.h,
+    src/MapUpdater.cc:17-190
+  - per-map log with drop/aggregate policies: src/Mapit.cc
+  - slice assembly (new elements + update log): Map::ArchiveMap
+    (src/Map.cc:297-339)
+  - slice application with id re-linking and out-of-order restoration
+    queues: Map::UpdateMap (src/Map.cc:341-447)
+
+Design notes:
+  - Updates that target elements not yet shipped are dropped — those
+    elements travel whole inside the same slice (Mapit.cc:17-48).
+  - Aggregation compacts the log before shipping: last-writer-wins for
+    SetPose/SetWorldPos and state-snapshot ops, counters collapse to
+    final values, all ops on dead elements drop except the SetBadFlag
+    itself (Mapit.cc:50-143).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Any
+
+import numpy as np
+
+from ..core.map_store import NO_MP, MapStore
+from ..utils.logging import get_logger
+
+_log = get_logger("mapit")
+
+# ops where only the last record per target matters
+LAST_WRITER_OPS = {
+    "SetPose", "SetWorldPos", "SetFound", "SetVisible", "SetLastTrackedTime",
+    "ComputeDistinctiveDescriptors", "UpdateNormalAndDepth", "UpdateConnections",
+}
+
+
+@dataclasses.dataclass
+class UpdateRecord:
+    seq: int
+    kind: str          # 'kf' | 'mp' | 'map'
+    func: str
+    target: int        # global id (or map id for kind='map')
+    args: tuple
+
+
+@dataclasses.dataclass
+class MapSlice:
+    """The sync unit (reference: include/MapSlice.h): new keyframes, new
+    map points, and the aggregated update log."""
+    map_id: int
+    kfs: list[dict]
+    mps: list[dict]
+    updates: list[UpdateRecord]
+    twl: tuple | None = None  # (R,t,s) local->world, shipped when non-identity
+
+    def counts(self) -> tuple[int, int, int]:
+        return len(self.kfs), len(self.mps), len(self.updates)
+
+
+class Mapit:
+    """Per-map change log + push/pull entry points."""
+
+    def __init__(self, store: MapStore):
+        self.store = store
+        self.log: list[UpdateRecord] = []
+        self.shipped_kf: set[int] = set()
+        self.shipped_mp: set[int] = set()
+        self._seq = itertools.count()
+        store.log_fn = self.add
+
+    # ------------------------------------------------------------------ log
+    def add(self, kind: str, func: str, target: int, args: tuple):
+        if kind == "kf" and target not in self.shipped_kf:
+            return  # ships whole with the next slice
+        if kind == "mp" and target not in self.shipped_mp:
+            return
+        self.log.append(UpdateRecord(next(self._seq), kind, func, target, args))
+
+    def aggregate(self, records: list[UpdateRecord]) -> list[UpdateRecord]:
+        """Compact the log (reference: Mapit::Aggregate)."""
+        dead_kf = {r.target for r in records if r.kind == "kf" and r.func == "SetBadFlag"}
+        dead_mp = {r.target for r in records if r.kind == "mp" and r.func == "SetBadFlag"}
+        last: dict[tuple, UpdateRecord] = {}
+        out: list[UpdateRecord] = []
+        for r in records:
+            if r.kind == "kf" and r.target in dead_kf and r.func != "SetBadFlag":
+                continue
+            if r.kind == "mp" and r.target in dead_mp and r.func != "SetBadFlag":
+                continue
+            if r.func in LAST_WRITER_OPS:
+                key = (r.kind, r.func, r.target)
+                if key in last:
+                    # replace earlier record in place (keeps global order
+                    # close to original)
+                    last[key].args = r.args
+                    last[key].seq = r.seq
+                    continue
+                last[key] = r
+            out.append(r)
+        return out
+
+    # ------------------------------------------------------------------ push
+    def archive(self) -> MapSlice:
+        """Collect new elements + drained, aggregated update log
+        (reference: Map::ArchiveMap)."""
+        st = self.store
+        kfs, mps = [], []
+        for k in np.where(st.kf_to_serialize[: st.n_kf] & st.kf_alive[: st.n_kf])[0]:
+            kfs.append(self._kf_payload(int(k)))
+            st.kf_to_serialize[k] = False
+            self.shipped_kf.add(int(st.kf_gid[k]))
+        for m in np.where(st.mp_to_serialize[: st.n_mp] & st.mp_alive[: st.n_mp])[0]:
+            mps.append(self._mp_payload(int(m)))
+            st.mp_to_serialize[m] = False
+            self.shipped_mp.add(int(st.mp_gid[m]))
+        updates = self.aggregate(self.log)
+        self.log = []
+        twl = None
+        if st.Twl_s != 1.0 or not np.allclose(st.Twl_R, np.eye(3)):
+            twl = (st.Twl_R.copy(), st.Twl_t.copy(), float(st.Twl_s))
+        return MapSlice(map_id=st.map_id, kfs=kfs, mps=mps, updates=updates, twl=twl)
+
+    def _kf_payload(self, k: int) -> dict:
+        st = self.store
+        mp_gids = np.full(st.n_kp, -1, np.int64)
+        has = st.kf_kp_mp[k] != NO_MP
+        mp_gids[has] = st.mp_gid[st.kf_kp_mp[k][has]]
+        return dict(
+            gid=int(st.kf_gid[k]),
+            pose_cw=st.kf_pose_cw[k].copy(),
+            K=st.kf_K[k].copy(),
+            hw=tuple(int(x) for x in st.kf_hw[k]),
+            ts=float(st.kf_ts[k]),
+            frame_id=int(st.kf_frame_id[k]),
+            genuine=bool(st.kf_genuine[k]),
+            velocity=float(st.kf_velocity[k]),
+            kp_uv=st.kf_kp_uv[k].copy(),
+            kp_octave=st.kf_kp_octave[k].copy(),
+            kp_angle=st.kf_kp_angle[k].copy(),
+            kp_response=st.kf_kp_response[k].copy(),
+            kp_valid=st.kf_kp_valid[k].copy(),
+            desc=st.kf_desc[k].copy(),
+            mp_gids=mp_gids,
+            parent_gid=int(st.kf_gid[st.kf_parent[k]]) if st.kf_parent[k] >= 0 else -1,
+        )
+
+    def _mp_payload(self, m: int) -> dict:
+        st = self.store
+        ref = int(st.mp_ref_kf[m])
+        return dict(
+            gid=int(st.mp_gid[m]),
+            pos=st.mp_pos[m].copy(),
+            desc=st.mp_desc[m].copy(),
+            normal=st.mp_normal[m].copy(),
+            min_dist=float(st.mp_min_dist[m]),
+            max_dist=float(st.mp_max_dist[m]),
+            ref_kf_gid=int(st.kf_gid[ref]) if ref >= 0 else -1,
+            visible=int(st.mp_visible[m]),
+            found=int(st.mp_found[m]),
+            created=float(st.mp_created[m]),
+            last_tracked=float(st.mp_last_tracked[m]),
+            cam_velocity=float(st.mp_cam_velocity[m]),
+        )
+
+    # ------------------------------------------------------------------ pull/apply
+    def apply_slice(self, sl: MapSlice, vocab=None,
+                    on_map_event=None) -> None:
+        """Insert new elements + apply the update log
+        (reference: Map::UpdateMap).  `on_map_event(func, target, args)`
+        receives map-level events (AddLoopClosing, clear, ...)."""
+        st = self.store
+        # 1. keyframes
+        new_kfs = []
+        for p in sl.kfs:
+            if p["gid"] in st.kf_by_gid:
+                continue
+            k = st.add_keyframe(
+                pose_cw=p["pose_cw"], K=p["K"], kp_uv=p["kp_uv"],
+                kp_octave=p["kp_octave"], kp_angle=p["kp_angle"],
+                kp_response=p["kp_response"], kp_valid=p["kp_valid"],
+                desc=p["desc"], ts=p["ts"], frame_id=p["frame_id"],
+                gid=p["gid"], genuine=p.get("genuine", True),
+                velocity=p.get("velocity", 0.0), hw=p.get("hw", (480, 640)),
+                log=False,
+            )
+            if vocab is not None:
+                w, nd = vocab.transform_np(p["desc"])
+                valid = p["kp_valid"]
+                st.kf_words[k, : len(w)] = np.where(valid, w.astype(np.int32), -1)
+                st.kf_nodes[k, : len(nd)] = np.where(valid, nd.astype(np.int32), -1)
+            # came from the peer: don't echo it back whole, but DO log
+            # future local mutations on it
+            st.kf_to_serialize[k] = False
+            self.shipped_kf.add(p["gid"])
+            new_kfs.append((k, p))
+        # 2. map points
+        for p in sl.mps:
+            if p["gid"] in st.mp_by_gid:
+                continue
+            ref = st.kf_by_gid.get(p["ref_kf_gid"], -1)
+            m = st.add_map_point(
+                pos=p["pos"], desc=p["desc"], ref_kf=ref, gid=p["gid"],
+                normal=p["normal"], min_dist=p["min_dist"], max_dist=p["max_dist"],
+                cam_velocity=p.get("cam_velocity", 0.0), log=False,
+            )
+            st.mp_visible[m] = p["visible"]
+            st.mp_found[m] = p["found"]
+            st.mp_created[m] = p["created"]
+            st.mp_last_tracked[m] = p["last_tracked"]
+            st.mp_to_serialize[m] = False
+            self.shipped_mp.add(p["gid"])
+        # 3. link keypoint -> map point from payloads
+        for k, p in new_kfs:
+            if p["parent_gid"] >= 0 and p["parent_gid"] in st.kf_by_gid:
+                st.kf_parent[k] = st.kf_by_gid[p["parent_gid"]]
+            gids = p["mp_gids"]
+            for kp in np.where(gids >= 0)[0]:
+                m = st.mp_by_gid.get(int(gids[kp]))
+                if m is not None and st.mp_alive[m]:
+                    st.add_observation(m, k, int(kp), log=False)
+                else:
+                    st.pending_obs.append((int(gids[kp]), p["gid"], int(kp)))
+        # 4. retry restoration queue (out-of-order tolerance, Map.cc:401)
+        still = []
+        for mp_gid, kf_gid, kp in st.pending_obs:
+            m = st.mp_by_gid.get(mp_gid)
+            k = st.kf_by_gid.get(kf_gid)
+            if m is not None and k is not None and st.mp_alive[m]:
+                st.add_observation(m, k, kp, log=False)
+            else:
+                still.append((mp_gid, kf_gid, kp))
+        st.pending_obs = still[-10000:]
+        # 5. transform
+        if sl.twl is not None:
+            R, t, s = sl.twl
+            st.set_transform(np.asarray(R), np.asarray(t), float(s), log=False)
+        # 6. update log
+        for r in sorted(sl.updates, key=lambda r: r.seq):
+            self._apply_update(r, on_map_event)
+        # refresh covisibility for the new keyframes
+        for k, _ in new_kfs:
+            st.update_connections(k, log=False)
+
+    def _apply_update(self, r: UpdateRecord, on_map_event=None):
+        """funcName dispatch (reference: MapUpdater::Apply,
+        src/MapUpdater.cc:232-279)."""
+        st = self.store
+        if r.kind == "map":
+            if on_map_event is not None:
+                on_map_event(r.func, r.target, r.args)
+            return
+        if r.kind == "kf":
+            k = st.kf_by_gid.get(r.target)
+            if k is None:
+                return
+            if r.func == "SetPose":
+                st.set_kf_pose(k, np.asarray(r.args[0]), log=False)
+            elif r.func == "SetBadFlag":
+                st.set_kf_bad(k, log=False)
+            elif r.func == "AddLoopEdge":
+                k2 = st.kf_by_gid.get(r.args[0])
+                if k2 is not None:
+                    st.add_loop_edge(k, k2, log=False)
+            elif r.func == "UpdateConnections":
+                st.update_connections(k, log=False)
+            return
+        m = st.mp_by_gid.get(r.target)
+        if m is None:
+            if r.func == "AddObservation":
+                # park in the restoration queue: the point may arrive in a
+                # later slice (out-of-order tolerance, Map.cc:401-423)
+                st.pending_obs.append((r.target, r.args[0], int(r.args[1])))
+            return
+        if r.func == "SetWorldPos":
+            st.set_mp_pos(m, np.asarray(r.args[0]), log=False)
+        elif r.func == "AddObservation":
+            k = st.kf_by_gid.get(r.args[0])
+            if k is not None:
+                st.add_observation(m, k, int(r.args[1]), log=False)
+            else:
+                st.pending_obs.append((r.target, r.args[0], int(r.args[1])))
+        elif r.func == "EraseObservation":
+            k = st.kf_by_gid.get(r.args[0])
+            if k is not None:
+                st.erase_observation(m, k, log=False)
+        elif r.func == "SetBadFlag":
+            st.set_mp_bad(m, log=False)
+        elif r.func == "Replace":
+            m2 = st.mp_by_gid.get(r.args[0])
+            if m2 is not None:
+                st.replace_mp(m, m2, log=False)
+        elif r.func == "ComputeDistinctiveDescriptors":
+            st.mp_desc[m] = np.asarray(r.args[0], np.uint32)
+        elif r.func == "UpdateNormalAndDepth":
+            st.mp_normal[m] = np.asarray(r.args[0])
+            st.mp_min_dist[m] = r.args[1]
+            st.mp_max_dist[m] = r.args[2]
+        elif r.func == "SetVisible":
+            st.mp_visible[m] = int(r.args[0])
+        elif r.func == "SetFound":
+            st.mp_found[m] = int(r.args[0])
+        elif r.func == "SetLastTrackedTime":
+            st.mp_last_tracked[m] = float(r.args[0])
+        else:
+            _log.debug("unknown update func %s", r.func)
+
+
+def full_archive(store: MapStore) -> MapSlice:
+    """Whole-map snapshot (for SaveMap/LoadMap checkpoints — reference:
+    System::SaveMap, System.cc:349; map-client-<id>.bin)."""
+    mapit = Mapit.__new__(Mapit)
+    mapit.store = store
+    sl = MapSlice(map_id=store.map_id, kfs=[], mps=[], updates=[], twl=None)
+    for k in store.alive_kf_slots():
+        sl.kfs.append(Mapit._kf_payload(mapit, int(k)))
+    for m in store.alive_mp_slots():
+        sl.mps.append(Mapit._mp_payload(mapit, int(m)))
+    if store.Twl_s != 1.0 or not np.allclose(store.Twl_R, np.eye(3)):
+        sl.twl = (store.Twl_R.copy(), store.Twl_t.copy(), float(store.Twl_s))
+    return sl
+
+
+def distribute_slice(store: MapStore, group_stores: list[MapStore] | None = None) -> MapSlice:
+    """Server->client update: rewrite every pose/position into the map
+    group's base frame as SetPose/SetWorldPos updates
+    (reference: MediatorScheduler::MapDistribute, MediatorScheduler.cc:155-202)."""
+    seq = itertools.count()
+    updates = []
+    for k in store.alive_kf_slots():
+        updates.append(UpdateRecord(next(seq), "kf", "SetPose",
+                                    int(store.kf_gid[k]),
+                                    (store.kf_pose_cw[k].copy(),)))
+    for m in store.alive_mp_slots():
+        updates.append(UpdateRecord(next(seq), "mp", "SetWorldPos",
+                                    int(store.mp_gid[m]),
+                                    (store.mp_pos[m].copy(),)))
+    twl = None
+    if store.Twl_s != 1.0 or not np.allclose(store.Twl_R, np.eye(3)):
+        twl = (store.Twl_R.copy(), store.Twl_t.copy(), float(store.Twl_s))
+    return MapSlice(map_id=store.map_id, kfs=[], mps=[], updates=updates, twl=twl)

@@ -126,15 +126,34 @@ def make_world(
         axis=1,
     )
     ps = 15
-    # per-landmark texture: coarse-grained unique pattern (3x3-pixel cells
-    # survive the sigma=2 descriptor blur, so rBRIEF stays discriminative)
-    # + a bright center disk that guarantees a FAST corner at the landmark
+    # Per-landmark texture built so that (a) the ONLY sharp corner is the
+    # center disk — the stamp is screen-aligned, not perspective-warped,
+    # so any off-center corner would be a geometrically inconsistent 3D
+    # point that poisons triangulation; (b) descriptors stay
+    # discriminative: random concentric ring intensities (radial
+    # signature) + a smooth orientation wedge (angular signature, and a
+    # well-conditioned intensity centroid for rBRIEF steering).
     yy, xx = np.mgrid[-(ps // 2): ps // 2 + 1, -(ps // 2): ps // 2 + 1]
-    cells = rng.randint(0, 150, size=(n_points, 5, 5)).astype(np.float32)
-    tex = np.repeat(np.repeat(cells, 3, axis=1), 3, axis=2)  # [P,15,15]
-    disk = (xx**2 + yy**2) <= 2.4**2
-    amp = rng.uniform(200, 255, size=(n_points, 1, 1))
-    tex = np.where(disk[None], amp, tex)
+    r = np.sqrt(xx**2 + yy**2)
+    phi = np.arctan2(yy, xx)
+    n_rings = 8
+    ring_idx = np.clip(((r - 2.0) / 1.5).astype(int), 0, n_rings - 1)
+    ring_vals = rng.uniform(0, 200, size=(n_points, n_rings)).astype(np.float32)
+    tex = ring_vals[:, ring_idx.reshape(-1)].reshape(n_points, ps, ps)
+    # two angular harmonics: rich, smooth, orientation-anchoring
+    ramp = np.clip(r / 6.0, 0, 1)[None]
+    for harm in (1, 2):
+        phase = rng.uniform(0, 2 * np.pi, size=(n_points, 1, 1))
+        amp = rng.uniform(20, 70, size=(n_points, 1, 1))
+        tex = tex + amp * (1 + np.cos(harm * phi[None] - phase)) * 0.5 * ramp
+    # smooth everything except the disk so ring edges stay sub-threshold
+    from scipy.ndimage import gaussian_filter
+
+    tex = gaussian_filter(tex, sigma=(0, 0.8, 0.8))
+    r_disk = rng.uniform(2.1, 3.0, size=(n_points, 1, 1))
+    disk = r[None] <= r_disk
+    amp = rng.uniform(210, 255, size=(n_points, 1, 1))
+    tex = np.where(disk, amp, tex)
     tex = np.clip(tex, 0, 255).astype(np.uint8)
 
     # trajectory

@@ -1,0 +1,134 @@
+"""Websocket transport tests: dispatch handshake, push/distribute round
+trip over real loopback sockets (the standalone client/server path —
+reference: client.cc / server.cc)."""
+import time
+
+import numpy as np
+import pytest
+
+from swarmmap_tpu.net.client_service import ClientService
+from swarmmap_tpu.net.server_service import DispatchService, ServerService
+from swarmmap_tpu.net.wsrpc import WsClient, WsServer, ws_round_trip
+from swarmmap_tpu.sync.codec import Request
+
+
+def free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_ws_round_trip_and_broadcast():
+    port = free_port()
+    got = []
+
+    def on_request(req, reply):
+        got.append(req.path)
+        reply(Request(src=0, dst=req.src, path="Ack", body=req.body))
+
+    server = WsServer("127.0.0.1", port, on_request)
+    server.start()
+    reply = ws_round_trip("127.0.0.1", port, Request(1, 0, "Hello", b"xyz"))
+    assert reply.path == "Ack" and reply.body == b"xyz"
+    assert got == ["Hello"]
+
+    received = []
+    client = WsClient("127.0.0.1", port, on_request=lambda r: received.append(r.path))
+    client.connect()
+    server.broadcast(Request(0, -1, "News", b""))
+    for _ in range(50):
+        if received:
+            break
+        time.sleep(0.05)
+    assert received == ["News"]
+    client.close()
+    server.stop()
+
+
+def test_dispatch_and_push_flow():
+    """Full standalone flow on loopback: register -> connect -> push ->
+    server applies -> distribute -> client applies."""
+    from swarmmap_tpu.ops.vocab import default_vocabulary
+    from swarmmap_tpu.server.map_manager import MapManager
+    from swarmmap_tpu.server.mediator import AgentMediator
+    from swarmmap_tpu.server.scheduler import MediatorScheduler
+    from swarmmap_tpu.swarm import SwarmAgent
+    from swarmmap_tpu.utils.config import CameraConfig, OrbConfig, Settings
+
+    vocab = default_vocabulary()
+    AgentMediator.registry.clear()
+    mm = MapManager()
+    services = {}
+
+    sched = MediatorScheduler(
+        mm, distribute_fn=lambda aid, data: services[aid].distribute_map(data)
+    )
+
+    def make_mediator(agent_id):
+        med = AgentMediator(agent_id, vocab, mm, n_kp=128)
+        sched.register_mediator(med)
+        svc = ServerService(agent_id, sched, host="127.0.0.1",
+                            port=free_port())
+        svc.start()
+        services[agent_id] = svc
+        return svc
+
+    dport = free_port()
+    dispatch = DispatchService("127.0.0.1", dport, make_mediator, next_id=5)
+    dispatch.start()
+
+    settings = Settings(
+        camera=CameraConfig(fx=230, fy=230, cx=160, cy=120, fps=20,
+                            width=320, height=240),
+        orb=OrbConfig(n_features=128, n_levels=3),
+    )
+    agent = SwarmAgent(0, settings, vocab)
+    svc = ClientService(agent, "127.0.0.1")
+    new_id, data_port = svc.register(dport)
+    assert new_id == 5
+    assert agent.system.store.map_id == 5
+    svc.connect(data_port)
+
+    # fabricate a tiny map client-side and push it
+    st = agent.system.store
+    rng = np.random.RandomState(0)
+    k = st.add_keyframe(
+        pose_cw=np.eye(4, dtype=np.float32),
+        K=settings.camera.K,
+        kp_uv=rng.rand(st.n_kp, 2).astype(np.float32) * 100,
+        kp_octave=np.zeros(st.n_kp, np.int32),
+        kp_angle=np.zeros(st.n_kp, np.float32),
+        kp_response=np.ones(st.n_kp, np.float32),
+        kp_valid=np.ones(st.n_kp, bool),
+        desc=rng.randint(0, 2**32, (st.n_kp, 8), dtype=np.uint32),
+    )
+    m = st.add_map_point(np.array([0, 0, 2.0]), st.kf_desc[k, 0], ref_kf=k)
+    st.add_observation(m, k, 0)
+    assert svc.push_map() > 0
+
+    med = AgentMediator.registry[5]
+    for _ in range(100):
+        if sched.process_pending():
+            break
+        time.sleep(0.05)
+    assert med.store.n_kf == 1 and med.store.n_mp == 1
+
+    # server-side mutation -> distribute -> client applies
+    new_pose = np.eye(4, dtype=np.float32)
+    new_pose[2, 3] = 9.0
+    med.store.set_kf_pose(0, new_pose)
+    sched.map_distribute(5)
+    for _ in range(100):
+        if agent.system.store.kf_pose_cw[0][2, 3] == 9.0:
+            break
+        time.sleep(0.05)
+    assert agent.system.store.kf_pose_cw[0][2, 3] == 9.0
+
+    svc.close()
+    dispatch.stop()
+    for s in services.values():
+        s.stop()

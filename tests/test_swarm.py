@@ -1,0 +1,114 @@
+"""Multi-agent collaborative mapping tests: client->server sync, STS
+scheduling, and cross-agent map fusion on a shared synthetic world."""
+import numpy as np
+import pytest
+
+from swarmmap_tpu.swarm import Swarm, SwarmConfig
+from swarmmap_tpu.utils import datasets
+from swarmmap_tpu.utils.config import CameraConfig, OrbConfig, Settings
+
+
+def make_settings(world, hw):
+    return Settings(
+        camera=CameraConfig(
+            fx=float(world.K[0, 0]), fy=float(world.K[1, 1]),
+            cx=float(world.K[0, 2]), cy=float(world.K[1, 2]),
+            fps=20.0, width=hw[1], height=hw[0],
+        ),
+        orb=OrbConfig(n_features=400, n_levels=4),
+    )
+
+
+@pytest.fixture(scope="module")
+def swarm_run():
+    hw = (240, 320)
+    n_frames = 36
+    seqs = [
+        datasets.synthesize_sequence(n_frames=n_frames, hw=hw, seed=0,
+                                     agent=a, n_points=350)
+        for a in range(2)
+    ]
+    settings = make_settings(seqs[0].world, hw)
+    swarm = Swarm(2, settings, config=SwarmConfig(push_every=8, report_every=4),
+                  run_server_gba=False)
+    for i in range(n_frames):
+        swarm.step([s.read(i) for s in seqs], seqs[0].timestamps[i])
+    swarm.finish()
+    return swarm, seqs
+
+
+def test_clients_track(swarm_run):
+    swarm, seqs = swarm_run
+    for agent in swarm.agents:
+        assert agent.frames_tracked > 0.5 * len(seqs[0]), agent.frames_tracked
+        assert agent.system.n_keyframes() >= 3
+
+
+def test_server_replicas_mirror_clients(swarm_run):
+    swarm, _ = swarm_run
+    for agent, med in zip(swarm.agents, swarm.mediators):
+        cst = agent.system.store
+        # every ALIVE client KF (KFs culled before a push never ship) must
+        # exist on the server, modulo the tail created after the last sync
+        alive_gids = {int(g) for g in cst.kf_gid[: cst.n_kf][cst.kf_alive[: cst.n_kf]]}
+        server_kfs = set(med.store.kf_by_gid)
+        missing = {g for g in alive_gids if g not in server_kfs}
+        assert len(missing) <= 2, f"server missing {len(missing)} keyframes"
+        client_alive = agent.system.store.mp_alive.sum()
+        server_alive = med.store.mp_alive.sum()
+        assert server_alive > 0.5 * client_alive, (server_alive, client_alive)
+
+
+def test_push_sizes_reasonable(swarm_run):
+    swarm, seqs = swarm_run
+    for agent in swarm.agents:
+        assert agent.bytes_pushed > 0
+        # change-log sync: payloads stay well under whole-map-every-push
+        from swarmmap_tpu.sync import codec
+        from swarmmap_tpu.sync.oplog import full_archive
+        full = len(codec.encode_slice(full_archive(agent.system.store)))
+        n_pushes = len(seqs[0]) // swarm.config.push_every
+        assert agent.bytes_pushed < full * max(n_pushes, 1), (
+            "incremental pushes should beat re-sending the whole map each time"
+        )
+
+
+def test_cross_agent_fusion(swarm_run):
+    """The two agents observe the same landmark field -> the server should
+    discover the overlap and merge their maps into one group."""
+    swarm, _ = swarm_run
+    groups = swarm.merged_groups()
+    biggest = max(groups, key=len)
+    assert len(biggest) == 2, f"maps not merged: groups={groups}"
+    # after the merge the two maps share a base frame: the Twl transforms
+    # map agent-1 local coords into the group frame; ground truth for both
+    # agents lives in the same world coordinates
+    st0 = swarm.mediators[0].store
+    st1 = swarm.mediators[1].store
+    assert st0.group_id == st1.group_id
+
+
+def test_sts_priority_ordering():
+    """Unstable agents outrank stable ones regardless of contribution."""
+    from swarmmap_tpu.core.tracking import SystemState
+    from swarmmap_tpu.server.map_manager import MapManager
+    from swarmmap_tpu.server.mediator import AgentMediator
+    from swarmmap_tpu.server.scheduler import MediatorScheduler
+    from swarmmap_tpu.sync.oplog import MapSlice
+    from swarmmap_tpu.ops.vocab import default_vocabulary
+
+    AgentMediator.registry.clear()
+    mm = MapManager()
+    sched = MediatorScheduler(mm)
+    meds = [AgentMediator(i, default_vocabulary(), mm, n_kp=64) for i in range(3)]
+    for m in meds:
+        sched.register_mediator(m)
+    loc = np.zeros(3, np.float32)
+    meds[0].set_state(SystemState(loc, False, True, 100, 0))   # stable
+    meds[1].set_state(SystemState(loc, False, False, 5, 3))    # LOST
+    meds[2].set_state(SystemState(loc, True, True, 15, 0))     # burst + low tracked
+    sl = MapSlice(map_id=0, kfs=[], mps=[], updates=[])
+    p0 = sched._priority(meds[0], sl)
+    p1 = sched._priority(meds[1], sl)
+    p2 = sched._priority(meds[2], sl)
+    assert p1 < p2 < p0  # lost < lost-prevention < enrichment

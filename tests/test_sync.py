@@ -1,0 +1,194 @@
+"""Protocol round-trip tests (SURVEY.md §4: serialize -> deserialize ->
+apply), including the op-log aggregation policies."""
+import numpy as np
+
+from swarmmap_tpu.core.map_store import MapStore
+from swarmmap_tpu.sync import codec
+from swarmmap_tpu.sync.oplog import Mapit, MapSlice, UpdateRecord, full_archive
+
+
+def make_store(map_id=0, n_kp=64):
+    return MapStore(map_id=map_id, n_kp=n_kp, kf_capacity=8, mp_capacity=64)
+
+
+def add_kf(st, pose_seed=0):
+    rng = np.random.RandomState(pose_seed)
+    n = st.n_kp
+    return st.add_keyframe(
+        pose_cw=np.eye(4, dtype=np.float32),
+        K=np.array([[450, 0, 320], [0, 450, 240], [0, 0, 1]], np.float32),
+        kp_uv=rng.rand(n, 2).astype(np.float32) * 200,
+        kp_octave=rng.randint(0, 4, n),
+        kp_angle=rng.rand(n).astype(np.float32) * 360,
+        kp_response=rng.rand(n).astype(np.float32),
+        kp_valid=np.ones(n, bool),
+        desc=rng.randint(0, 2**32, (n, 8), dtype=np.uint32),
+        ts=1.5, frame_id=7, hw=(480, 640),
+    )
+
+
+def test_push_applies_to_replica():
+    client = make_store(map_id=3)
+    mapit = Mapit(client)
+    k = add_kf(client)
+    m = client.add_map_point(np.array([1, 2, 3.0]), client.kf_desc[k, 0], ref_kf=k)
+    client.add_observation(m, k, 0)
+
+    sl = mapit.archive()
+    assert len(sl.kfs) == 1 and len(sl.mps) == 1
+    data = codec.encode_slice(sl)
+    sl2 = codec.decode_slice(data)
+
+    server = make_store(map_id=3)
+    server_mapit = Mapit(server)
+    server_mapit.apply_slice(sl2)
+    assert server.n_kf == 1 and server.n_mp == 1
+    np.testing.assert_array_equal(server.kf_desc[0], client.kf_desc[k])
+    np.testing.assert_allclose(server.mp_pos[0], [1, 2, 3])
+    # observation restored
+    assert server.kf_kp_mp[0, 0] == 0
+    assert 0 in server.obs[0]
+
+
+def test_incremental_updates_flow():
+    client = make_store(map_id=1)
+    mapit = Mapit(client)
+    k = add_kf(client)
+    m = client.add_map_point(np.array([1, 2, 3.0]), client.kf_desc[k, 0], ref_kf=k)
+    client.add_observation(m, k, 0)
+
+    server = make_store(map_id=1)
+    server_mapit = Mapit(server)
+    server_mapit.apply_slice(codec.decode_slice(codec.encode_slice(mapit.archive())))
+
+    # mutate AFTER the first push -> only updates ship
+    new_pose = np.eye(4, dtype=np.float32)
+    new_pose[0, 3] = 5.0
+    client.set_kf_pose(k, new_pose)
+    client.set_mp_pos(m, np.array([9.0, 9, 9]))
+    sl = mapit.archive()
+    assert len(sl.kfs) == 0 and len(sl.mps) == 0
+    assert len(sl.updates) == 2
+    server_mapit.apply_slice(codec.decode_slice(codec.encode_slice(sl)))
+    assert server.kf_pose_cw[0][0, 3] == 5.0
+    np.testing.assert_allclose(server.mp_pos[0], [9, 9, 9])
+
+
+def test_updates_on_unshipped_elements_dropped():
+    client = make_store()
+    mapit = Mapit(client)
+    k = add_kf(client)
+    client.set_kf_pose(k, np.eye(4, dtype=np.float32))  # before any push
+    assert len(mapit.log) == 0  # dropped: the KF ships whole anyway
+
+
+def test_aggregation_last_writer_wins():
+    client = make_store()
+    mapit = Mapit(client)
+    k = add_kf(client)
+    mapit.archive()  # ship the KF so subsequent updates are logged
+    for i in range(5):
+        p = np.eye(4, dtype=np.float32)
+        p[1, 3] = float(i)
+        client.set_kf_pose(k, p)
+    sl = mapit.archive()
+    poses = [u for u in sl.updates if u.func == "SetPose"]
+    assert len(poses) == 1
+    assert poses[0].args[0][1, 3] == 4.0
+
+
+def test_aggregation_drops_ops_on_dead_elements():
+    client = make_store()
+    mapit = Mapit(client)
+    k1, k2 = add_kf(client, 0), add_kf(client, 1)
+    m = client.add_map_point(np.array([0, 0, 1.0]), client.kf_desc[k1, 0], ref_kf=k1)
+    client.add_observation(m, k1, 0)
+    client.add_observation(m, k2, 0)
+    mapit.archive()
+    client.set_mp_pos(m, np.array([1.0, 1, 1]))
+    client.set_mp_bad(m)
+    sl = mapit.archive()
+    funcs = [u.func for u in sl.updates if u.target == int(client.mp_gid[m])]
+    assert "SetBadFlag" in funcs
+    assert "SetWorldPos" not in funcs
+
+
+def test_out_of_order_restoration_queue():
+    """An AddObservation arriving before its map point parks in the
+    restoration queue and applies on the next slice (Map.cc:401-423)."""
+    server = make_store(map_id=2)
+    server_mapit = Mapit(server)
+    client = make_store(map_id=2)
+    client_mapit = Mapit(client)
+    k = add_kf(client)
+    m = client.add_map_point(np.array([1.0, 1, 1]), client.kf_desc[k, 0], ref_kf=k)
+    sl_full = client_mapit.archive()
+
+    # slice 1: keyframe only + an observation referencing the unseen point
+    sl1 = MapSlice(map_id=2, kfs=sl_full.kfs, mps=[], updates=[
+        UpdateRecord(0, "mp", "AddObservation", int(client.mp_gid[m]),
+                     (int(client.kf_gid[k]), 5)),
+    ])
+    server_mapit.apply_slice(codec.decode_slice(codec.encode_slice(sl1)))
+    assert server.n_mp == 0
+    assert len(server.pending_obs) == 1
+
+    # slice 2: the map point arrives -> queue drains
+    sl2 = MapSlice(map_id=2, kfs=[], mps=sl_full.mps, updates=[])
+    server_mapit.apply_slice(codec.decode_slice(codec.encode_slice(sl2)))
+    assert server.n_mp == 1
+    assert server.kf_kp_mp[0, 5] == 0
+    assert not server.pending_obs
+
+
+def test_map_event_callback():
+    client = make_store()
+    mapit = Mapit(client)
+    k = add_kf(client)
+    client.log_fn("map", "AddLoopClosing", int(client.kf_gid[k]), ())
+    sl = mapit.archive()
+    events = []
+    server = make_store()
+    Mapit(server).apply_slice(
+        codec.decode_slice(codec.encode_slice(sl)),
+        on_map_event=lambda f, t, a: events.append((f, t)),
+    )
+    assert events == [("AddLoopClosing", int(client.kf_gid[k]))]
+
+
+def test_full_archive_checkpoint_roundtrip(tmp_path):
+    client = make_store(map_id=4)
+    Mapit(client)
+    k1, k2 = add_kf(client, 0), add_kf(client, 1)
+    for i in range(10):
+        m = client.add_map_point(
+            np.array([i, 0, 2.0]), client.kf_desc[k1, i], ref_kf=k1
+        )
+        client.add_observation(m, k1, i)
+        client.add_observation(m, k2, i)
+    path = tmp_path / "map-client-4.bin"
+    path.write_bytes(codec.encode_slice(full_archive(client)))
+
+    restored = make_store(map_id=4)
+    Mapit(restored).apply_slice(codec.decode_slice(path.read_bytes()))
+    assert restored.n_kf == 2 and restored.n_mp == 10
+    np.testing.assert_allclose(restored.mp_pos[:10], client.mp_pos[:10])
+    # covisibility rebuilt from observations
+    assert restored.covis[0][1] == 10
+
+
+def test_request_roundtrip():
+    r = codec.Request(src=1, dst=0, path="PushMap", body=b"\x00\x01payload")
+    r2 = codec.Request.decode(r.encode())
+    assert (r2.src, r2.dst, r2.path, r2.body) == (1, 0, "PushMap", b"\x00\x01payload")
+
+
+def test_system_state_roundtrip():
+    from swarmmap_tpu.core.tracking import SystemState
+
+    s = SystemState(location=np.array([1, 2, 3.0], np.float32),
+                    velocity_burst=True, stable=False, n_tracked=42, lost_count=3)
+    s2 = codec.decode_state(codec.encode_state(s))
+    assert s2.velocity_burst and not s2.stable
+    assert s2.n_tracked == 42 and s2.lost_count == 3
+    np.testing.assert_allclose(s2.location, [1, 2, 3])
