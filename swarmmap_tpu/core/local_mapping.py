@@ -287,7 +287,10 @@ class LocalMapping:
         cam_index = {c: i for i, c in enumerate(cams)}
         fixed = np.zeros(len(cams), bool)
         fixed[len(local):] = True
-        fixed[cam_index.get(0, 0)] = True  # gauge: first KF always fixed
+        if 0 in cam_index:
+            fixed[cam_index[0]] = True  # keep the origin KF as gauge
+        elif not fixed.any():
+            fixed[len(local) - 1] = True  # no frontier: anchor the oldest
         obs_cam, obs_pt, obs_uv, obs_is2 = [], [], [], []
         for m in pts:
             for kfk, kp in st.obs.get(m, {}).items():

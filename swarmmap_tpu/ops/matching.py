@@ -41,10 +41,16 @@ class Matches(NamedTuple):
 
 def rotation_consistency(rot_deg: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Keep only matches whose angle difference falls in the 3 dominant
-    histogram bins (reference: ComputeThreeMaxima, ORBmatcher.cc:1475)."""
+    histogram bins (reference: ComputeThreeMaxima, ORBmatcher.cc:1475).
+
+    Histogram via a dense one-hot reduction — TPU scatters serialize on
+    duplicate indices, dense masked sums don't."""
     rot = jnp.mod(rot_deg, 360.0)
     bins = jnp.clip((rot * (HISTO_BINS / 360.0)).astype(jnp.int32), 0, HISTO_BINS - 1)
-    hist = jnp.zeros((HISTO_BINS,), jnp.int32).at[bins].add(valid.astype(jnp.int32))
+    onehot = (
+        bins[:, None] == jnp.arange(HISTO_BINS, dtype=jnp.int32)[None]
+    ) & valid[:, None]
+    hist = onehot.sum(0)
     top_vals, top_idx = jax.lax.top_k(hist, 3)
     # reference rule: drop 2nd/3rd bins if an order of magnitude below max
     keep2 = top_vals[1] > 0.1 * top_vals[0]
@@ -59,16 +65,23 @@ def rotation_consistency(rot_deg: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarra
 
 def resolve_conflicts(best_idx: jnp.ndarray, dist: jnp.ndarray,
                       valid: jnp.ndarray, n_targets: int) -> jnp.ndarray:
-    """One query per target: keep the closest, drop the rest."""
-    d = jnp.where(valid, dist, _BIG)
-    per_target = jnp.full((n_targets,), _BIG, jnp.int32).at[best_idx].min(d)
-    win = d <= per_target[best_idx]
-    # tie-break by query index: first query with the winning distance wins
+    """One query per target: keep the closest, drop the rest.
+
+    Scatter-free: a single fused-key min-reduction per target.  TPU
+    scatter-min with duplicate indices serializes; a dense masked min
+    doesn't.  Key = dist * Nq + query_index, so one reduction gives both
+    the winning distance and the first winning query."""
     nq = best_idx.shape[0]
+    # distances are <= 256 (Hamming) for valid entries; clip to keep the
+    # fused key within int32
+    d = jnp.minimum(jnp.where(valid, dist, _BIG), 1 << 12)
     qi = jnp.arange(nq, dtype=jnp.int32)
-    qi_masked = jnp.where(win & valid, qi, nq)
-    first_winner = jnp.full((n_targets,), nq, jnp.int32).at[best_idx].min(qi_masked)
-    return valid & win & (first_winner[best_idx] == qi)
+    key = d * nq + qi  # ties broken toward the smaller query index
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nq, n_targets), 1)
+    chosen = (cols == best_idx[:, None]) & valid[:, None]
+    keymat = jnp.where(chosen, key[:, None], jnp.int32(1 << 30))
+    per_target_key = jnp.min(keymat, axis=0)  # [Nt]
+    return valid & (per_target_key[best_idx] == key)
 
 
 @functools.partial(
@@ -89,9 +102,13 @@ def masked_match(
     """The shared dense matching core. mask: [Nq,Nt] candidate gate."""
     ham = hamming_matrix(desc_q, desc_t)
     d = jnp.where(mask, ham, _BIG)
-    neg2, idx2 = jax.lax.top_k(-d, 2)
-    best, second = -neg2[:, 0], -neg2[:, 1]
-    best_idx = idx2[:, 0]
+    # top-2 via two min/argmin passes — lax.top_k lowers to a row sort on
+    # TPU, which costs ~milliseconds at this size
+    best = jnp.min(d, axis=1)
+    best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d2 = jnp.where(cols == best_idx[:, None], _BIG, d)
+    second = jnp.min(d2, axis=1)
     valid = best <= max_dist
     if ratio > 0.0:
         valid &= best.astype(jnp.float32) < ratio * second.astype(jnp.float32)

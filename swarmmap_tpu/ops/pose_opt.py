@@ -23,6 +23,50 @@ CHI2_MONO = 5.991
 HUBER_DELTA = jnp.sqrt(5.991)
 
 
+def _inv3(M):
+    """Closed-form 3x3 inverse (adjugate) — pure elementwise ops."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    adj = jnp.stack([
+        jnp.stack([A, B, C], -1),
+        jnp.stack([D, E, F], -1),
+        jnp.stack([G, H, I], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
+def solve6(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve a 6x6 SPD system via 3x3 block elimination with closed-form
+    inverses.  jnp.linalg.solve lowers to a sequential LU While-loop on
+    TPU (~hundreds of micro-ops); this is ~10 fused tensor ops, which
+    matters because LM runs dozens of solves back-to-back."""
+    A = H[..., :3, :3]
+    B = H[..., :3, 3:]
+    C = H[..., 3:, 3:]
+    b1 = b[..., :3]
+    b2 = b[..., 3:]
+    Ainv = _inv3(A)
+    BtAinv = jnp.swapaxes(B, -1, -2) @ Ainv
+    S = C - BtAinv @ B
+    Sinv = _inv3(S)
+    rhs2 = b2 - (BtAinv @ b1[..., None])[..., 0]
+    x2 = (Sinv @ rhs2[..., None])[..., 0]
+    x1 = (Ainv @ (b1 - (B @ x2[..., None])[..., 0])[..., None])[..., 0]
+    return jnp.concatenate([x1, x2], -1)
+
+
 def _residuals_jac(Tcw, K, pts_w, uv):
     """Residuals [N,2] and Jacobians [N,2,6] wrt left-multiplied se3 update
     (omega, upsilon)."""
@@ -93,7 +137,7 @@ def pose_optimize(
             H = jnp.einsum("nik,n,nil->kl", J, wh, J)
             b = -jnp.einsum("nik,n,ni->k", J, wh, r)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
-            dx = jnp.linalg.solve(Hd, b)
+            dx = solve6(Hd, b)
             T_new = lie.se3_exp(dx) @ T
             r_new, _, _ = _residuals_jac(T_new, K, pts_w, uv)
             def cost(rr):

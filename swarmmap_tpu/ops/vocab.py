@@ -164,6 +164,156 @@ class Vocabulary:
                 s += abs(va) + abs(vb) - abs(va - vb)
         return 0.5 * s
 
+    # -- DBoW2 text-format interop -------------------------------------------
+    # Standard ORB vocabulary text layout (DBoW2 TemplatedVocabulary::
+    # saveToTextFile): header "k L scoring weighting", then one line per
+    # non-root node in BFS-compatible order:
+    #   parent_id is_leaf b0 b1 ... b31 weight
+    def save_dbow2_txt(self, path: str | Path) -> None:
+        lines = [f"{self.k} {self.L} 0 0"]
+        # assign node ids in level order: root=0, then each level's nodes
+        next_id = 1
+        id_of: dict[tuple[int, int], int] = {}  # (level, dense_pos) -> file id
+        id_of[(0, 0)] = 0
+        for l in range(self.L):
+            for parent_pos in range(self.k**l):
+                for c in range(self.k):
+                    if not self.valid[l][parent_pos, c]:
+                        continue
+                    child_pos = parent_pos * self.k + c
+                    id_of[(l + 1, child_pos)] = next_id
+                    next_id += 1
+        for l in range(self.L):
+            for parent_pos in range(self.k**l):
+                for c in range(self.k):
+                    if not self.valid[l][parent_pos, c]:
+                        continue
+                    child_pos = parent_pos * self.k + c
+                    desc_bytes = self.centers[l][parent_pos, c].view(np.uint8)
+                    is_leaf = 1 if l == self.L - 1 else 0
+                    w = float(self.word_weights[child_pos]) if is_leaf else 0.0
+                    lines.append(
+                        f"{id_of[(l, parent_pos)]} {is_leaf} "
+                        + " ".join(str(int(b)) for b in desc_bytes)
+                        + f" {w}"
+                    )
+        Path(path).write_text("\n".join(lines) + "\n")
+
+    @classmethod
+    def load_dbow2_txt(cls, path: str | Path, node_level: int | None = None) -> "Vocabulary":
+        """Load a DBoW2-text vocabulary (e.g. a converted ORBvoc.txt)."""
+        lines = Path(path).read_text().split("\n")
+        header = lines[0].split()
+        k, L = int(header[0]), int(header[1])
+        children: dict[int, list[tuple[int, np.ndarray, float, bool]]] = {}
+        node_id = 0
+        for ln in lines[1:]:
+            ln = ln.strip()
+            if not ln:
+                continue
+            parts = ln.split()
+            node_id += 1
+            parent = int(parts[0])
+            is_leaf = bool(int(parts[1]))
+            desc = np.array([int(x) for x in parts[2:34]], np.uint8).view(np.uint32)
+            weight = float(parts[34])
+            children.setdefault(parent, []).append((node_id, desc, weight, is_leaf))
+        centers = [np.zeros((k**l, k, 8), np.uint32) for l in range(L)]
+        valid = [np.zeros((k**l, k), bool) for l in range(L)]
+        weights = np.ones(k**L, np.float32)
+        # BFS: map file node id -> (level, dense position)
+        stack = [(0, 0, 0)]  # (file id, level, dense pos)
+        while stack:
+            fid, l, pos = stack.pop()
+            if l >= L:
+                continue
+            for c, (cid, desc, w, is_leaf) in enumerate(children.get(fid, [])[:k]):
+                centers[l][pos, c] = desc
+                valid[l][pos, c] = True
+                child_pos = pos * k + c
+                if is_leaf or l == L - 1:
+                    weights[min(child_pos, k**L - 1)] = max(w, 1e-3)
+                else:
+                    stack.append((cid, l + 1, child_pos))
+        return cls(
+            k=k, L=L, centers=centers, valid=valid, word_weights=weights,
+            node_level=node_level if node_level is not None else max(L - 2, 1),
+        )
+
+    # -- DBoW2 binary-format interop (ORBvoc.bin) ------------------------------
+    # Layout (spec: TemplatedVocabulary::loadFromBinaryFile,
+    # Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1478): header =
+    # u32 nb_nodes, u32 size_node, i32 k, i32 L, i32 scoring, i32 weighting;
+    # then per non-root node: i32 parent, 32-byte descriptor, f32 weight,
+    # u8 is_leaf  (size_node = 41 for ORB).
+    def save_dbow2_bin(self, path: str | Path) -> None:
+        import struct
+
+        records = []
+        # file node ids in level order (parents precede children)
+        id_of: dict[tuple[int, int], int] = {(0, 0): 0}
+        next_id = 1
+        order: list[tuple[int, int, int]] = []  # (level, parent_pos, child)
+        for l in range(self.L):
+            for pp in range(self.k**l):
+                for c in range(self.k):
+                    if self.valid[l][pp, c]:
+                        id_of[(l + 1, pp * self.k + c)] = next_id
+                        next_id += 1
+                        order.append((l, pp, c))
+        for l, pp, c in order:
+            child_pos = pp * self.k + c
+            is_leaf = l == self.L - 1
+            w = float(self.word_weights[child_pos]) if is_leaf else 0.0
+            records.append(
+                struct.pack("<i", id_of[(l, pp)])
+                + self.centers[l][pp, c].view(np.uint8).tobytes()
+                + struct.pack("<f?", w, is_leaf)
+            )
+        header = struct.pack("<IIiiii", len(records) + 1, 41, self.k, self.L, 0, 0)
+        Path(path).write_bytes(header + b"".join(records))
+
+    @classmethod
+    def load_dbow2_bin(cls, path: str | Path,
+                       node_level: int | None = None) -> "Vocabulary":
+        """Load a reference-format binary vocabulary (ORBvoc.bin)."""
+        import struct
+
+        data = Path(path).read_bytes()
+        nb_nodes, size_node, k, L, _scoring, _weighting = struct.unpack(
+            "<IIiiii", data[:24]
+        )
+        assert size_node == 41, f"unsupported node size {size_node}"
+        body = data[24:]
+        n_rec = len(body) // size_node
+        children: dict[int, list[tuple[int, bytes, float, bool]]] = {}
+        for i in range(n_rec):
+            rec = body[i * size_node : (i + 1) * size_node]
+            parent = struct.unpack("<i", rec[:4])[0]
+            desc = rec[4:36]
+            weight, is_leaf = struct.unpack("<f?", rec[36:41])
+            children.setdefault(parent, []).append((i + 1, desc, weight, is_leaf))
+        centers = [np.zeros((k**l, k, 8), np.uint32) for l in range(L)]
+        valid = [np.zeros((k**l, k), bool) for l in range(L)]
+        weights = np.ones(k**L, np.float32)
+        stack = [(0, 0, 0)]
+        while stack:
+            fid, l, pos = stack.pop()
+            if l >= L:
+                continue
+            for c, (cid, desc, w, is_leaf) in enumerate(children.get(fid, [])[:k]):
+                centers[l][pos, c] = np.frombuffer(desc, np.uint32)
+                valid[l][pos, c] = True
+                child_pos = pos * k + c
+                if is_leaf or l == L - 1:
+                    weights[min(child_pos, k**L - 1)] = max(w, 1e-3)
+                else:
+                    stack.append((cid, l + 1, child_pos))
+        return cls(
+            k=k, L=L, centers=centers, valid=valid, word_weights=weights,
+            node_level=node_level if node_level is not None else max(L - 2, 1),
+        )
+
     # -- persistence -------------------------------------------------------
     def save(self, path: str | Path) -> None:
         arrs = {"k": self.k, "L": self.L, "node_level": self.node_level,

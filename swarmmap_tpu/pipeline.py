@@ -68,11 +68,15 @@ def tracking_step(
     m = matching.masked_match(
         inp.mp_desc, feats.desc, mask, max_dist=matching.TH_HIGH, ratio=0.0
     )
-    # invert matches: per-keypoint map-point index
+    # invert matches (per-keypoint map-point index) via a dense masked
+    # min — scatter-free (TPU scatters serialize on duplicates)
     n_kp = feats.xy.shape[0]
-    match_mp = jnp.full((n_kp,), -1, jnp.int32)
-    mp_ids = jnp.arange(inp.mp_pos.shape[0], dtype=jnp.int32)
-    match_mp = match_mp.at[m.idx].set(jnp.where(m.valid, mp_ids, -1))
+    n_mp = inp.mp_pos.shape[0]
+    mp_ids = jnp.arange(n_mp, dtype=jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_mp, n_kp), 1)
+    chosen = (cols == m.idx[:, None]) & m.valid[:, None]
+    per_kp = jnp.min(jnp.where(chosen, mp_ids[:, None], n_mp), axis=0)
+    match_mp = jnp.where(per_kp < n_mp, per_kp, -1)
     # pose optimization over matched keypoints
     kp_mp = jnp.clip(match_mp, 0, inp.mp_pos.shape[0] - 1)
     valid = (match_mp >= 0) & feats.valid

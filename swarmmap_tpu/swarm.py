@@ -100,6 +100,7 @@ class Swarm:
                 scale_factor=settings.orb.scale_factor,
                 n_levels=settings.orb.n_levels,
                 min_merge_inliers=min_merge,
+                run_global_ba=run_server_gba,
             )
             self.scheduler.register_mediator(med)
             self.mediators.append(med)

@@ -110,21 +110,32 @@ def make_world(
     seed: int = 0,
     agent: int = 0,
     motion: str = "arc",
+    focal: float | None = None,
 ) -> SyntheticWorld:
     """Landmark field + smooth trajectory.  Different `agent` values share
     the SAME world (same seed for points) but follow offset trajectories,
     giving overlapping maps for fusion tests."""
     rng = np.random.RandomState(seed)
     h, w = hw
-    # landmark slab 4..9m in front of the trajectory, wide FOV coverage
-    pts = np.stack(
-        [
-            rng.uniform(-6, 6, n_points),
-            rng.uniform(-3.5, 3.5, n_points),
-            rng.uniform(4.0, 9.0, n_points),
-        ],
-        axis=1,
-    )
+    if motion == "circuit":
+        # ring world: landmarks on an outer annulus, camera drives a loop
+        # inside facing outward-tangent — start/end genuinely revisit
+        ang = rng.uniform(0, 2 * np.pi, n_points)
+        rad = rng.uniform(9.0, 14.0, n_points)
+        pts = np.stack(
+            [rad * np.cos(ang), rng.uniform(-3.0, 3.0, n_points), rad * np.sin(ang)],
+            axis=1,
+        )
+    else:
+        # landmark slab 4..9m in front of the trajectory, wide FOV coverage
+        pts = np.stack(
+            [
+                rng.uniform(-6, 6, n_points),
+                rng.uniform(-3.5, 3.5, n_points),
+                rng.uniform(4.0, 9.0, n_points),
+            ],
+            axis=1,
+        )
     ps = 15
     # Per-landmark texture built so that (a) the ONLY sharp corner is the
     # center disk — the stamp is screen-aligned, not perspective-warped,
@@ -165,17 +176,30 @@ def make_world(
         if motion == "arc":
             # sideways arc (good mono-init parallax) + slight push-in
             c = base + np.array([2.2 * np.sin(0.9 * t * np.pi), 0.35 * np.sin(2 * np.pi * t), 0.8 * t])
+            target = np.array([0.0, 0.0, 6.5]) + 0.2 * np.array(
+                [np.sin(3 * t), np.cos(3 * t), 0.0]
+            )
+        elif motion == "circuit":
+            # closed loop of radius 5, looking at the outer wall ahead
+            th = 2 * np.pi * t * 1.05 + agent * 0.7  # slight overshoot past 360deg
+            c = np.array([5.0 * np.cos(th), 0.15 * np.sin(4 * th), 5.0 * np.sin(th)])
+            th2 = th + 0.45  # look ahead along the circuit toward the wall
+            target = np.array([11.0 * np.cos(th2), 0.0, 11.0 * np.sin(th2)])
         else:  # forward
             c = base + np.array([0.3 * np.sin(2 * np.pi * t), 0.0, 2.5 * t])
-        target = np.array([0.0, 0.0, 6.5]) + 0.2 * np.array(
-            [np.sin(3 * t), np.cos(3 * t), 0.0]
-        )
+            target = np.array([0.0, 0.0, 6.5]) + 0.2 * np.array(
+                [np.sin(3 * t), np.cos(3 * t), 0.0]
+            )
         R_cw = _look_rotation(target - c, np.array([0.0, -1.0, 0.0]))
         T = np.eye(4)
         T[:3, :3] = R_cw.T  # camera-to-world rotation
         T[:3, 3] = c
         poses[i] = T
-    K = np.array([[460.0, 0, w / 2.0], [0, 460.0, h / 2.0], [0, 0, 1.0]])
+    if focal is None:
+        # circuit motion turns fast: use a wide lens (~70deg) so features
+        # survive between frames; default narrow lens elsewhere
+        focal = 0.72 * w if motion == "circuit" else 460.0
+    K = np.array([[focal, 0, w / 2.0], [0, focal, h / 2.0], [0, 0, 1.0]])
     del arng
     return SyntheticWorld(points=pts, textures=tex, poses_wc=poses, K=K, hw=hw)
 
@@ -218,9 +242,10 @@ def synthesize_sequence(
     fps: float = 20.0,
     motion: str = "arc",
     n_points: int = 600,
+    focal: float | None = None,
 ) -> ImageSequence:
     world = make_world(n_points=n_points, n_frames=n_frames, hw=hw, seed=seed,
-                       agent=agent, motion=motion)
+                       agent=agent, motion=motion, focal=focal)
     frames = np.stack([render_frame(world, i) for i in range(n_frames)])
     seq = ImageSequence(
         paths=[], timestamps=np.arange(n_frames) / fps, frames=frames

@@ -124,6 +124,43 @@ def test_vocab_scoring_discriminates(rng):
     assert abs(vocab.Vocabulary.score(va, va) - 1.0) < 1e-6
 
 
+def test_vocab_dbow2_text_roundtrip(tmp_path, rng):
+    """Interop format: save/load through the DBoW2 text layout preserves
+    the transform exactly."""
+    descs = rng.randint(0, 2**32, (1500, 8), dtype=np.uint32)
+    voc = vocab.Vocabulary.train(descs, k=5, L=3, seed=1)
+    p = tmp_path / "voc.txt"
+    voc.save_dbow2_txt(p)
+    voc2 = vocab.Vocabulary.load_dbow2_txt(p)
+    w1, n1 = voc.transform_np(descs[:128])
+    w2, n2 = voc2.transform_np(descs[:128])
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(n1, n2)
+    # header sanity
+    head = p.read_text().split("\n")[0].split()
+    assert head[0] == "5" and head[1] == "3"
+
+
+def test_vocab_dbow2_binary_roundtrip(tmp_path, rng):
+    """Interop: the reference ORBvoc.bin binary node layout
+    (TemplatedVocabulary.h:1478 spec) round-trips exactly."""
+    descs = rng.randint(0, 2**32, (1200, 8), dtype=np.uint32)
+    voc = vocab.Vocabulary.train(descs, k=4, L=3, seed=9)
+    p = tmp_path / "voc.bin"
+    voc.save_dbow2_bin(p)
+    # header sanity: 41-byte records
+    raw = p.read_bytes()
+    import struct
+    nb_nodes, size_node, k, L, sc, wt = struct.unpack("<IIiiii", raw[:24])
+    assert size_node == 41 and k == 4 and L == 3
+    assert len(raw) == 24 + (nb_nodes - 1) * 41
+    voc2 = vocab.Vocabulary.load_dbow2_bin(p)
+    w1, n1 = voc.transform_np(descs[:128])
+    w2, n2 = voc2.transform_np(descs[:128])
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(n1, n2)
+
+
 def test_vocab_save_load(tmp_path, rng):
     descs = rng.randint(0, 2**32, (500, 8), dtype=np.uint32)
     voc = vocab.Vocabulary.train(descs, k=4, L=2, seed=3)
