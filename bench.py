@@ -47,8 +47,13 @@ def main() -> None:
     for _ in range(3):
         n_iter = 30
         t0 = time.perf_counter()
+        cur = batched
         for _ in range(n_iter):
-            out = step(batched)
+            out = step(cur)
+            # chain the pose output into the next input: forces honest
+            # sequential device execution (an unchained loop lets the
+            # runtime coalesce/drop un-awaited executions)
+            cur = cur._replace(Tcw_guess=out[0])
         jax.block_until_ready(out[0])
         dt = (time.perf_counter() - t0) / n_iter
         fps_per_agent = 1.0 / dt  # all agents advance one frame per step

@@ -71,7 +71,8 @@ def extract_orb(
         if budget == 0 or min(lvl_img.shape) <= 2 * 16 + 8:
             continue
         kps = fast.detect_fast(lvl_img, budget, th_high=th_high, th_low=th_low)
-        ang = orientation.ic_angles(lvl_img, kps.xy, kps.valid)
+        m10, m01 = orientation.moment_maps(lvl_img)
+        ang = orientation.ic_angles_conv(m10, m01, kps.xy, kps.valid)
         blurred = pyramid.gaussian_blur(lvl_img)
         desc = brief.compute_descriptors(blurred, kps.xy, ang, kps.valid)
         s = jnp.float32(scale**l)

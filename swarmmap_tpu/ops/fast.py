@@ -132,7 +132,12 @@ def detect_fast(
     )
     priority = masked + bonus
 
-    vals, idx = jax.lax.top_k(priority.reshape(-1), n_keypoints)
+    # approx_max_k: TPU-native partial reduction (full top_k lowers to a
+    # row sort — ~0.5ms per level at VGA); keypoint budgeting only needs
+    # "the best ~N", not exact order
+    vals, idx = jax.lax.approx_max_k(
+        priority.reshape(-1), n_keypoints, recall_target=0.95
+    )
     yx = jnp.stack([idx % ww, idx // ww], axis=-1).astype(jnp.float32)  # (x, y)
     valid = vals > -jnp.inf
     kp_score = jnp.take(masked.reshape(-1), idx)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +30,62 @@ def _patch_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     umax = np.round(np.sqrt(np.maximum(r * r - np.arange(r + 1) ** 2, 0))).astype(int)
     mask = np.abs(dx) <= umax[np.abs(dy)]
     return dx.astype(np.float32), dy.astype(np.float32), mask.astype(np.float32)
+
+
+def moment_maps(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-image intensity moments m10/m01 over the circular patch.
+
+    TPU-first trade: per-keypoint [N,961] patch gathers run at DRAM
+    latency (~7ns/element) and dominate the frame program, and XLA lowers
+    a 31x31 convolution naively (measured 17ms at 752x480).  Instead the
+    disk decomposes into 31 row segments of half-width umax(|dy|), and
+    each row's box/ramp sums come from TWO cumulative-sum differences:
+
+      m01(x,y) = sum_dy dy * BOX_{u(dy)}(y+dy, x)
+      m10(x,y) = sum_dy RAMP_{u(dy)}(y+dy, x)
+      BOX_u  = CS[x+u] - CS[x-u-1]                       (CS = cumsum)
+      RAMP_u = (CSX[x+u] - CSX[x-u-1]) - x * BOX_u       (CSX = cumsum(x*img))
+
+    ~200 fused elementwise passes total — FAST-kernel-class cost — and
+    the per-keypoint read drops to TWO gathered scalars."""
+    h, w = img.shape
+    r = HALF_PATCH
+    umax = np.round(np.sqrt(np.maximum(r * r - np.arange(r + 1) ** 2, 0))).astype(int)
+    # pad columns so x+u / x-u-1 never leave bounds; pad rows for dy
+    imgp = jnp.pad(img, ((r, r), (r + 1, r)), mode="constant")
+    colx = jnp.arange(-(r + 1), w + r, dtype=img.dtype)[None, :]  # abs col idx
+    cs = jnp.cumsum(imgp, axis=1)
+    csx = jnp.cumsum(imgp * colx, axis=1)
+    x0 = r + 1  # column offset of image x=0 inside the padded arrays
+    xs = jnp.arange(w, dtype=img.dtype)[None, :]
+    m10 = jnp.zeros((h, w), img.dtype)
+    m01 = jnp.zeros((h, w), img.dtype)
+    for dy in range(-r, r + 1):
+        u = int(umax[abs(dy)])
+        rows = slice(r + dy, r + dy + h)
+        hi = x0 + u
+        lo = x0 - u - 1
+        box = cs[rows, hi : hi + w] - cs[rows, lo : lo + w]
+        ramp = (csx[rows, hi : hi + w] - csx[rows, lo : lo + w]) - xs * box
+        m10 = m10 + ramp
+        m01 = m01 + dy * box
+    return m10, m01
+
+
+def ic_angles_conv(
+    m10_map: jnp.ndarray, m01_map: jnp.ndarray,
+    xy: jnp.ndarray, valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Angles from precomputed moment maps (2 gathers per keypoint)."""
+    h, w = m10_map.shape
+    x = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    flat = y * w + x
+    m10 = jnp.take(m10_map.reshape(-1), flat)
+    m01 = jnp.take(m01_map.reshape(-1), flat)
+    ang = jnp.degrees(jnp.arctan2(m01, m10))
+    ang = jnp.where(ang < 0, ang + 360.0, ang)
+    return jnp.where(valid, ang, 0.0)
 
 
 def ic_angles(img: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

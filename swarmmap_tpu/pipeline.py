@@ -68,22 +68,25 @@ def tracking_step(
     m = matching.masked_match(
         inp.mp_desc, feats.desc, mask, max_dist=matching.TH_HIGH, ratio=0.0
     )
-    # invert matches (per-keypoint map-point index) via a dense masked
-    # min — scatter-free (TPU scatters serialize on duplicates)
+    # invert matches scatter-free: the mutual-best pairing is an
+    # involution, so keypoint t's map point is target_q[t] whenever that
+    # query's match survived — gathers only
     n_kp = feats.xy.shape[0]
-    n_mp = inp.mp_pos.shape[0]
-    mp_ids = jnp.arange(n_mp, dtype=jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n_mp, n_kp), 1)
-    chosen = (cols == m.idx[:, None]) & m.valid[:, None]
-    per_kp = jnp.min(jnp.where(chosen, mp_ids[:, None], n_mp), axis=0)
-    match_mp = jnp.where(per_kp < n_mp, per_kp, -1)
+    t_ids = jnp.arange(n_kp, dtype=jnp.int32)
+    bq = m.target_q                                # [N_kp] best query per kp
+    match_mp = jnp.where(
+        m.valid[bq] & (m.idx[bq] == t_ids), bq, -1
+    ).astype(jnp.int32)
     # pose optimization over matched keypoints
     kp_mp = jnp.clip(match_mp, 0, inp.mp_pos.shape[0] - 1)
     valid = (match_mp >= 0) & feats.valid
     sig2 = jnp.asarray(scale, jnp.float32) ** (2.0 * feats.octave.astype(jnp.float32))
+    # 2x8 LM schedule: one outlier re-gating round; the reference's 4x10
+    # is conservative — GN on a good motion-model guess converges in <8
+    # (full 4x10 remains the default for relocalization-grade problems)
     res = pose_opt.pose_optimize(
         inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], feats.xy,
-        1.0 / sig2, valid, rounds=4, iters=10,
+        1.0 / sig2, valid, rounds=2, iters=8,
     )
     return TrackOutputs(
         Tcw=res.Tcw,

@@ -1,0 +1,130 @@
+"""Unit tests for the server layer: MBP scoring, map enhancer, map-group
+merge algebra."""
+import numpy as np
+import pytest
+
+from swarmmap_tpu.core.map_store import MapStore
+from swarmmap_tpu.ops.lie import sim3_apply
+from swarmmap_tpu.server.landmark_scoring import LandmarkScoring
+from swarmmap_tpu.server.map_enhancer import MapEnhancer
+from swarmmap_tpu.server.map_manager import MapManager
+
+
+def small_map(rng, map_id=0, n_kf=4, n_mp=40, n_kp=64):
+    st = MapStore(map_id=map_id, n_kp=n_kp, kf_capacity=8, mp_capacity=128)
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+    for i in range(n_kf):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.3 * i, 0, 0]
+        st.add_keyframe(
+            pose_cw=T, K=K,
+            kp_uv=rng.uniform(5, 60, (n_kp, 2)).astype(np.float32),
+            kp_octave=rng.randint(0, 3, n_kp),
+            kp_angle=rng.uniform(0, 360, n_kp).astype(np.float32),
+            kp_response=rng.rand(n_kp).astype(np.float32),
+            kp_valid=np.ones(n_kp, bool),
+            desc=rng.randint(0, 2**32, (n_kp, 8), dtype=np.uint32),
+            ts=float(i), hw=(64, 64),
+        )
+    for j in range(n_mp):
+        pos = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(2, 5)],
+                       np.float32)
+        m = st.add_map_point(pos, st.kf_desc[0, j % n_kp], ref_kf=0)
+        for k in range(n_kf):
+            if rng.rand() < 0.7:
+                st.add_observation(m, k, (j + k) % n_kp)
+    return st
+
+
+def test_scoring_features_and_rank(rng):
+    st = small_map(rng)
+    sc = LandmarkScoring(st)
+    scores = sc.rank()
+    assert len(scores) == st.mp_alive.sum()
+    assert np.isfinite(scores).all()
+    assert len(sc.kf_scores) == st.kf_alive.sum()
+    # request priority: generation rate normalized by the RUNNING max —
+    # once a big push sets the max, small pushes rank lower
+    p_first = sc.request_priority(100)
+    p_small = sc.request_priority(1)
+    assert p_first > p_small
+
+
+def test_scoring_csv(tmp_path, rng):
+    st = small_map(rng)
+    sc = LandmarkScoring(st)
+    sc.rank()
+    sc.save_csv(tmp_path / "scores.csv")
+    lines = (tmp_path / "scores.csv").read_text().strip().splitlines()
+    assert len(lines) == int(st.mp_alive.sum()) + 1
+    assert lines[0].startswith("slot,gid")
+
+
+def test_virtual_keyframe_identical_mode(rng):
+    """reference self-test: regenerate a KF at its own pose
+    (MapEnhancer.cc:19-20) — the synthesized KF must observe most of the
+    same points at reprojected positions."""
+    st = small_map(rng, n_kf=4, n_mp=60)
+    sc = LandmarkScoring(st)
+    enh = MapEnhancer(st, sc)
+    vk = enh.generate_keyframe(st.kf_pose_cw[1], ref_kf=1, identical=True)
+    assert vk is not None
+    assert not st.kf_genuine[vk]
+    n_obs = int((st.kf_kp_mp[vk] >= 0).sum())
+    assert n_obs >= 20
+    # observations registered both ways
+    for kp, m in enumerate(st.kf_kp_mp[vk]):
+        if m >= 0:
+            assert st.obs[int(m)][vk] == kp
+
+
+def test_compression_respects_default_disable(rng):
+    st = small_map(rng, n_kf=8, n_mp=80)
+    sc = LandmarkScoring(st)
+    enh = MapEnhancer(st, sc)  # compression_enabled=False (reference parity)
+    assert enh.compress() == 0
+    enh2 = MapEnhancer(st, sc, compression_enabled=True)
+    removed = enh2.compress(fraction=0.2)
+    assert removed > 0
+
+
+def test_merge_group_algebra(rng):
+    """After MergeMap, a shared physical point maps to the same global
+    coordinates through both maps' Twl transforms."""
+    st1 = small_map(rng, map_id=0)
+    st2 = small_map(rng, map_id=1)
+    mm = MapManager()
+    mm.register(st1)
+    mm.register(st2)
+    # ground truth: map2 local coords = S21(map1 local coords)
+    from swarmmap_tpu.ops import lie
+    import jax.numpy as jnp
+
+    xi = np.array([0.1, -0.05, 0.2, 0.4, -0.3, 0.1, 0.15], np.float32)
+    R12, t12, s12 = (np.asarray(x) for x in lie.sim3_exp(jnp.asarray(xi)))
+    ok = mm.merge(0, 1, float(s12), R12, t12)
+    assert ok
+    assert st1.group_id == st2.group_id
+    # a point at p2 (map2 local) with p1 = S12 p2 (map1 local) must land
+    # at the same global position through either transform
+    p2 = np.array([0.5, -0.2, 3.0], np.float32)
+    p1 = s12 * R12 @ p2 + t12
+    g1 = st1.Twl_s * st1.Twl_R @ p1 + st1.Twl_t
+    g2 = st2.Twl_s * st2.Twl_R @ p2 + st2.Twl_t
+    np.testing.assert_allclose(g1, g2, atol=1e-5)
+
+
+def test_merge_scale_guard(rng):
+    """A second merge implying a wild scale jump is rejected
+    (reference: Map::SetTransform guard, Map.cc:450-486)."""
+    st1 = small_map(rng, map_id=0)
+    st2 = small_map(rng, map_id=1)
+    st3 = small_map(rng, map_id=2)
+    mm = MapManager()
+    for s in (st1, st2, st3):
+        mm.register(s)
+    assert mm.merge(0, 1, 1.1, np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    # map2 now has Twl_s=1.1; re-merging map2's group with an absurd scale
+    # hits the guard on the transform update
+    ok = st2.set_transform(np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 50.0)
+    assert not ok
