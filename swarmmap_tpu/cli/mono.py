@@ -1,7 +1,8 @@
 """Single-agent dataset runners (reference: mono_tum / mono_euroc /
-mono_kitti .cc — classic ORB-SLAM2 runners without networking).
+mono_kitti.cc, plus the rgbd_tum / stereo_* sensor variants).
 
     python -m swarmmap_tpu.cli.mono --synthetic --frames 80
+    python -m swarmmap_tpu.cli.mono --synthetic --sensor rgbd
     python -m swarmmap_tpu.cli.mono -d config/fr2-desk.yaml
 """
 from __future__ import annotations
@@ -17,16 +18,31 @@ _log = get_logger("mono")
 
 
 def main(argv=None):
-    p = base_parser("swarmmap-tpu single-agent monocular SLAM")
+    p = base_parser("swarmmap-tpu single-agent SLAM")
+    p.add_argument("--sensor", choices=["mono", "rgbd", "stereo"], default="mono")
+    p.add_argument("--baseline", type=float, default=0.12)
     args = p.parse_args(argv)
     settings, seqs = load_world(args, 1)
     vocab = load_vocab(args.voc)
     sys_ = System(settings, vocab)
     seq = seqs[0]
+    if args.sensor != "mono" and getattr(seq, "world", None) is None:
+        p.error("--sensor rgbd/stereo currently needs --synthetic (dataset "
+                "depth/right-image loaders pending)")
+    from ..utils import datasets as ds
+
     t0 = time.time()
     tracked = 0
     for i in range(len(seq)):
-        pose = sys_.track_monocular(seq.read(i), float(seq.timestamps[i]))
+        ts = float(seq.timestamps[i])
+        if args.sensor == "rgbd":
+            img, depth = ds.render_frame(seq.world, i, return_depth=True)
+            pose = sys_.track_rgbd(img, depth, ts)
+        elif args.sensor == "stereo":
+            left, right = ds.render_stereo_pair(seq.world, i, args.baseline)
+            pose = sys_.track_stereo(left, right, ts, baseline=args.baseline)
+        else:
+            pose = sys_.track_monocular(seq.read(i), ts)
         tracked += pose is not None
     wall = time.time() - t0
     out = Path(args.out)

@@ -37,6 +37,7 @@ class Frame:
     words: np.ndarray | None = None        # [N] BoW word ids
     nodes: np.ndarray | None = None        # [N] BoW grouping node ids
     sigma2: np.ndarray | None = None       # [N] per-kp scale sigma^2
+    kp_depth: np.ndarray | None = None     # [N] metric depth (<=0 invalid)
 
     def __post_init__(self):
         n = len(self.xy)
@@ -64,6 +65,7 @@ def build_frame(
     cam: CameraConfig,
     orb: OrbConfig,
     n_features: int | None = None,
+    depth_image: np.ndarray | None = None,
 ) -> Frame:
     """Run the device front-end and assemble a Frame."""
     nf = n_features or orb.n_features
@@ -84,6 +86,13 @@ def build_frame(
         xy = xy_raw
     octave = np.asarray(feats.octave)
     sig2 = ex.scale_sigma2(orb.n_levels, orb.scale_factor)[octave]
+    kp_depth = None
+    if depth_image is not None:
+        h, w = depth_image.shape
+        xs = np.clip(np.round(xy_raw[:, 0]).astype(int), 0, w - 1)
+        ys = np.clip(np.round(xy_raw[:, 1]).astype(int), 0, h - 1)
+        d = depth_image[ys, xs].astype(np.float32)
+        kp_depth = np.where(np.isfinite(d) & (d > 0), d, -1.0).astype(np.float32)
     return Frame(
         frame_id=next(_frame_ids),
         timestamp=timestamp,
@@ -97,4 +106,5 @@ def build_frame(
         valid=np.asarray(feats.valid),
         hw=image.shape[:2],
         sigma2=sig2,
+        kp_depth=kp_depth,
     )

@@ -53,6 +53,40 @@ class System:
     def track_monocular(self, image: np.ndarray, timestamp: float) -> np.ndarray | None:
         return self.tracking.grab(image, timestamp)
 
+    def track_rgbd(self, image: np.ndarray, depth: np.ndarray,
+                   timestamp: float) -> np.ndarray | None:
+        """reference: System::TrackRGBD"""
+        return self.tracking.grab(image, timestamp, depth_image=depth)
+
+    def track_stereo(self, left: np.ndarray, right: np.ndarray,
+                     timestamp: float, baseline: float = 0.12) -> np.ndarray | None:
+        """reference: System::TrackStereo — rectified pair; per-keypoint
+        depth from row-banded descriptor matching (ops/stereo.py)."""
+        import jax.numpy as jnp
+
+        from ..ops import extractor as ex, stereo
+
+        orb = self.settings.orb
+        featsR = ex.extract_orb(
+            jnp.asarray(right), n_features=orb.n_features,
+            n_levels=orb.n_levels, scale=orb.scale_factor,
+            th_high=float(orb.ini_th_fast), th_low=float(orb.min_th_fast),
+        )
+        featsL = ex.extract_orb(
+            jnp.asarray(left), n_features=orb.n_features,
+            n_levels=orb.n_levels, scale=orb.scale_factor,
+            th_high=float(orb.ini_th_fast), th_low=float(orb.min_th_fast),
+        )
+        depth = np.asarray(stereo.stereo_depths(
+            featsL.xy, featsL.desc, featsL.octave, featsL.valid,
+            featsR.xy, featsR.desc, featsR.octave, featsR.valid,
+            fx=float(self.settings.camera.fx), baseline=baseline,
+            scale=orb.scale_factor,
+        ))
+        # hand the left features' depths to the tracker via kp_depth;
+        # build_frame re-extracts deterministically so indices align
+        return self.tracking.grab(left, timestamp, kp_depth=depth)
+
     @property
     def state(self) -> TrackingState:
         return self.tracking.state

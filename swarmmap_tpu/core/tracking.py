@@ -112,11 +112,19 @@ class Tracking:
         return self.settings.orb.n_levels
 
     # ------------------------------------------------------------------ main
-    def grab(self, image: np.ndarray, timestamp: float) -> np.ndarray | None:
-        frame = build_frame(image, timestamp, self.settings.camera, self.settings.orb)
+    def grab(self, image: np.ndarray, timestamp: float,
+             depth_image: np.ndarray | None = None,
+             kp_depth: np.ndarray | None = None) -> np.ndarray | None:
+        frame = build_frame(image, timestamp, self.settings.camera,
+                            self.settings.orb, depth_image=depth_image)
+        if kp_depth is not None:
+            frame.kp_depth = kp_depth
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             self.state = TrackingState.NOT_INITIALIZED
-            self._monocular_initialization(frame)
+            if frame.kp_depth is not None:
+                self._depth_initialization(frame)
+            else:
+                self._monocular_initialization(frame)
         else:
             self._track(frame)
         self.last_frame = frame
@@ -128,6 +136,40 @@ class Tracking:
         return None
 
     # ------------------------------------------------------------ initialization
+    def _depth_initialization(self, frame: Frame, min_points: int = 50):
+        """Stereo/RGB-D bootstrap: back-project keypoints with valid depth
+        (reference: Tracking::StereoInitialization) — metric scale, no
+        two-view parallax needed."""
+        good = frame.valid & (frame.kp_depth > 0)
+        if good.sum() < min_points:
+            return
+        st = self.store
+        frame.pose_cw = np.eye(4, dtype=np.float32)
+        k = self._insert_keyframe(frame)
+        pts = self._backproject(frame, np.where(good)[0])
+        for i, kp in enumerate(np.where(good)[0]):
+            mp = st.add_map_point(pts[i], frame.desc[kp], ref_kf=k)
+            st.add_observation(mp, k, int(kp))
+            st.update_normal_and_depth(mp, self.scale_factor, self.n_levels)
+            frame.mp[kp] = mp
+        st.update_connections(k)
+        self.ref_kf = k
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackingState.OK
+        _log.info("depth-initialized map with %d points", int(good.sum()))
+
+    @staticmethod
+    def _backproject(frame: Frame, kp_idx: np.ndarray) -> np.ndarray:
+        """Pixels + depth -> world points through the current pose."""
+        K = frame.K
+        uv = frame.xy[kp_idx]
+        z = frame.kp_depth[kp_idx]
+        x = (uv[:, 0] - K[0, 2]) / K[0, 0] * z
+        y = (uv[:, 1] - K[1, 2]) / K[1, 1] * z
+        pc = np.stack([x, y, z], 1)
+        Twc = np.linalg.inv(frame.pose_cw)
+        return pc @ Twc[:3, :3].T + Twc[:3, 3]
+
     def _monocular_initialization(self, frame: Frame):
         if self.init_frame is None or frame.valid.sum() < self.p.init_min_matches:
             if frame.valid.sum() >= self.p.init_min_matches:
@@ -497,6 +539,24 @@ class Tracking:
 
     def _create_new_keyframe(self, frame: Frame):
         k = self._insert_keyframe(frame)
+        # stereo/RGB-D: seed map points directly from depth for unmatched
+        # keypoints, closest first (reference: Tracking::CreateNewKeyFrame)
+        if frame.kp_depth is not None:
+            st = self.store
+            free = frame.valid & (frame.kp_depth > 0) & (frame.mp == NO_MP)
+            idx = np.where(free)[0]
+            order = np.argsort(frame.kp_depth[idx])[:300]
+            sel = idx[order]
+            if len(sel):
+                pts = self._backproject(frame, sel)
+                for i, kp in enumerate(sel):
+                    mp = st.add_map_point(pts[i], frame.desc[kp], ref_kf=k)
+                    st.add_observation(mp, k, int(kp))
+                    st.update_normal_and_depth(mp, self.scale_factor, self.n_levels)
+                    frame.mp[kp] = mp
+                    if self.local_mapping is not None:
+                        self.local_mapping.recent_mps.append(mp)
+                st.update_connections(k)
         self.last_kf_frame_id = frame.frame_id
         self.ref_kf = k
         if self.local_mapping is not None:

@@ -204,13 +204,19 @@ def make_world(
     return SyntheticWorld(points=pts, textures=tex, poses_wc=poses, K=K, hw=hw)
 
 
-def render_frame(world: SyntheticWorld, i: int) -> np.ndarray:
-    """Render frame i: project landmarks, stamp their textures."""
+def render_frame(
+    world: SyntheticWorld, i: int, return_depth: bool = False,
+    pose_wc: np.ndarray | None = None,
+):
+    """Render frame i: project landmarks, stamp their textures.
+    With return_depth, also emit a dense depth map (landmark depth on the
+    stamped patch, +inf on background)."""
     h, w = world.hw
     img = np.full((h, w), 35, dtype=np.float32)
     # gentle illumination gradient so the background isn't flat
     img += np.linspace(0, 18, w)[None, :]
-    T_wc = world.poses_wc[i]
+    depth = np.full((h, w), np.inf, np.float32)
+    T_wc = pose_wc if pose_wc is not None else world.poses_wc[i]
     R_cw = T_wc[:3, :3].T
     t_cw = -R_cw @ T_wc[:3, 3]
     pc = world.points @ R_cw.T + t_cw
@@ -231,7 +237,21 @@ def render_frame(world: SyntheticWorld, i: int) -> np.ndarray:
         img[v - r: v + r + 1, u - r: u + r + 1] = np.maximum(
             img[v - r: v + r + 1, u - r: u + r + 1], patch
         )
-    return np.clip(img, 0, 255).astype(np.uint8)
+        depth[v - r: v + r + 1, u - r: u + r + 1] = z[j]
+    out = np.clip(img, 0, 255).astype(np.uint8)
+    if return_depth:
+        return out, depth
+    return out
+
+
+def render_stereo_pair(world: SyntheticWorld, i: int, baseline: float = 0.12):
+    """Left/right rectified pair: right camera shifted by `baseline`
+    along the camera x-axis (standard rectified stereo geometry)."""
+    left = render_frame(world, i)
+    T = world.poses_wc[i].copy()
+    T[:3, 3] = T[:3, 3] + T[:3, :3] @ np.array([baseline, 0.0, 0.0])
+    right = render_frame(world, i, pose_wc=T)
+    return left, right
 
 
 def synthesize_sequence(
