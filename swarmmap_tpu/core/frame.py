@@ -66,17 +66,22 @@ def build_frame(
     orb: OrbConfig,
     n_features: int | None = None,
     depth_image: np.ndarray | None = None,
+    features: ex.FrameFeatures | None = None,
 ) -> Frame:
-    """Run the device front-end and assemble a Frame."""
+    """Assemble a Frame; runs the device front-end unless precomputed
+    `features` are supplied (combined mode batches all agents'
+    extractions into one call and passes them in)."""
     nf = n_features or orb.n_features
-    feats = ex.extract_orb(
-        jnp.asarray(image),
-        n_features=nf,
-        n_levels=orb.n_levels,
-        scale=orb.scale_factor,
-        th_high=float(orb.ini_th_fast),
-        th_low=float(orb.min_th_fast),
-    )
+    feats = features
+    if feats is None:
+        feats = ex.extract_orb(
+            jnp.asarray(image),
+            n_features=nf,
+            n_levels=orb.n_levels,
+            scale=orb.scale_factor,
+            th_high=float(orb.ini_th_fast),
+            th_low=float(orb.min_th_fast),
+        )
     xy_raw = np.asarray(feats.xy)
     if np.any(cam.dist[:4] != 0):
         xy = np.asarray(

@@ -114,9 +114,11 @@ class Tracking:
     # ------------------------------------------------------------------ main
     def grab(self, image: np.ndarray, timestamp: float,
              depth_image: np.ndarray | None = None,
-             kp_depth: np.ndarray | None = None) -> np.ndarray | None:
+             kp_depth: np.ndarray | None = None,
+             features=None) -> np.ndarray | None:
         frame = build_frame(image, timestamp, self.settings.camera,
-                            self.settings.orb, depth_image=depth_image)
+                            self.settings.orb, depth_image=depth_image,
+                            features=features)
         if kp_depth is not None:
             frame.kp_depth = kp_depth
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):

@@ -100,6 +100,28 @@ def extract_orb(
     return FrameFeatures(xy, response, octave, angle, desc, valid)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_features", "n_levels", "scale", "th_high", "th_low"),
+)
+def extract_orb_batched(
+    images: jnp.ndarray,
+    n_features: int = 1000,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    th_high: float = 20.0,
+    th_low: float = 7.0,
+) -> FrameFeatures:
+    """[A,H,W] -> FrameFeatures with leading agent axis — the combined
+    mode's N per-agent extractions as ONE device program (SURVEY.md §2.10
+    agent data parallelism)."""
+    fn = functools.partial(
+        extract_orb, n_features=n_features, n_levels=n_levels,
+        scale=scale, th_high=th_high, th_low=th_low,
+    )
+    return jax.vmap(fn)(images)
+
+
 def undistort_points(
     xy: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray, iters: int = 5
 ) -> jnp.ndarray:

@@ -40,8 +40,8 @@ class SwarmAgent:
         self.frames_tracked = 0
         self.bytes_pushed = 0
 
-    def track(self, image: np.ndarray, ts: float):
-        pose = self.system.track_monocular(image, ts)
+    def track(self, image: np.ndarray, ts: float, features=None):
+        pose = self.system.tracking.grab(image, ts, features=features)
         if pose is not None:
             self.frames_tracked += 1
         return pose
@@ -113,11 +113,31 @@ class Swarm:
 
     # -- stepping ------------------------------------------------------------
     def step(self, images: list[np.ndarray | None], ts: float):
-        """Advance every agent by one frame and run the sync cadence."""
-        for agent, img in zip(self.agents, images):
-            if img is None:
-                continue
-            agent.track(img, ts)
+        """Advance every agent by one frame and run the sync cadence.
+
+        All agents' front-ends run as ONE batched device program
+        (SURVEY.md §2.10: the reference's N per-agent CUDA extractions
+        become a single vmapped call)."""
+        live = [(a, img) for a, img in zip(self.agents, images) if img is not None]
+        feats_per_agent: list = [None] * len(live)
+        if len(live) > 1 and all(img.shape == live[0][1].shape for _, img in live):
+            import jax.numpy as jnp
+
+            from .ops import extractor as ex
+
+            orb = self.settings.orb
+            batch = ex.extract_orb_batched(
+                jnp.asarray(np.stack([img for _, img in live])),
+                n_features=orb.n_features, n_levels=orb.n_levels,
+                scale=orb.scale_factor, th_high=float(orb.ini_th_fast),
+                th_low=float(orb.min_th_fast),
+            )
+            feats_per_agent = [
+                ex.FrameFeatures(*(leaf[i] for leaf in batch))
+                for i in range(len(live))
+            ]
+        for (agent, img), feats in zip(live, feats_per_agent):
+            agent.track(img, ts, features=feats)
         self.frame_count += 1
         if self.frame_count % self.config.report_every == 0:
             for agent in self.agents:
