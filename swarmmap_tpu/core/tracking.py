@@ -24,7 +24,7 @@ from ..ops import ba as ba_ops
 from ..utils.config import Settings
 from ..utils.padding import bucket_size, pad_rows, pad_slots
 from ..utils.logging import get_logger
-from .frame import Frame, build_frame
+from .frame import Frame, build_frame, _frame_ids
 from .keyframe_db import KeyFrameDatabase
 from .map_store import NO_MP, MapStore
 
@@ -54,6 +54,12 @@ class TrackingParams:
     max_local_mps: int = 4096
     velocity_window: int = 10      # STS sliding window (Tracking.cc:1364)
     burst_factor: float = 1.2
+    # steady-state frames run as ONE fused device program (extraction +
+    # local-map matching + pose optimization); falls back to the staged
+    # host path on low inliers / lost / distorted cameras
+    use_fused_step: bool = True
+    fused_window_th: float = 12.0
+    fused_local_bucket: int = 2048
 
 
 @dataclasses.dataclass
@@ -116,19 +122,33 @@ class Tracking:
              depth_image: np.ndarray | None = None,
              kp_depth: np.ndarray | None = None,
              features=None) -> np.ndarray | None:
-        frame = build_frame(image, timestamp, self.settings.camera,
-                            self.settings.orb, depth_image=depth_image,
-                            features=features)
-        if kp_depth is not None:
-            frame.kp_depth = kp_depth
-        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
-            self.state = TrackingState.NOT_INITIALIZED
-            if frame.kp_depth is not None:
-                self._depth_initialization(frame)
+        frame = None
+        fused_eligible = (
+            self.p.use_fused_step
+            and features is None and depth_image is None and kp_depth is None
+            and self.state == TrackingState.OK
+            and self.velocity is not None
+            and self.last_frame is not None
+            and self.last_frame.pose_cw is not None
+            and not np.any(self.settings.camera.dist[:4] != 0)
+        )
+        if fused_eligible:
+            frame = self._track_fused(image, timestamp)
+        if frame is None:
+            frame = build_frame(image, timestamp, self.settings.camera,
+                                self.settings.orb, depth_image=depth_image,
+                                features=features)
+            if kp_depth is not None:
+                frame.kp_depth = kp_depth
+            if self.state in (TrackingState.NO_IMAGES_YET,
+                              TrackingState.NOT_INITIALIZED):
+                self.state = TrackingState.NOT_INITIALIZED
+                if frame.kp_depth is not None:
+                    self._depth_initialization(frame)
+                else:
+                    self._monocular_initialization(frame)
             else:
-                self._monocular_initialization(frame)
-        else:
-            self._track(frame)
+                self._track(frame)
         self.last_frame = frame
         if frame.pose_cw is not None:
             Twc = np.linalg.inv(frame.pose_cw)
@@ -136,6 +156,109 @@ class Tracking:
             self._update_velocity_stats(Twc[:3, 3])
             return frame.pose_cw
         return None
+
+    # ------------------------------------------------------------ fused path
+    def _collect_local_slots(self) -> np.ndarray:
+        """Local map for the fused step: last frame's points + everything
+        observed by their keyframes (the same neighborhood TrackLocalMap
+        builds, assembled BEFORE the device call)."""
+        st = self.store
+        lf = self.last_frame
+        seed = [int(m) for m in lf.mp[lf.mp != NO_MP] if st.mp_alive[m]]
+        if not seed:
+            return np.zeros(0, np.int32)
+        counts: dict[int, int] = {}
+        for m in seed:
+            for k in st.obs.get(m, {}):
+                if st.kf_alive[k]:
+                    counts[k] = counts.get(k, 0) + 1
+        local_kfs = sorted(counts, key=counts.get, reverse=True)[:60]
+        slots: set[int] = set(seed)
+        for k in local_kfs:
+            mps = st.kf_kp_mp[k]
+            for m in mps[mps != NO_MP]:
+                mi = int(m)
+                if st.mp_alive[mi]:
+                    slots.add(mi)
+                    if len(slots) >= self.p.fused_local_bucket:
+                        break
+            if len(slots) >= self.p.fused_local_bucket:
+                break
+        if local_kfs:
+            self.ref_kf = local_kfs[0]
+        return np.fromiter(slots, np.int32)
+
+    def _track_fused(self, image: np.ndarray, timestamp: float) -> Frame | None:
+        """One device dispatch for the whole steady-state frame:
+        extraction + local-map matching + LM pose optimization
+        (pipeline.tracking_step).  Returns the tracked Frame, or None to
+        fall back to the staged host path."""
+        from .. import pipeline
+
+        st = self.store
+        slots = self._collect_local_slots()
+        if len(slots) < 50:
+            return None
+        bucket = self.p.fused_local_bucket
+        slots = slots[:bucket]
+        n = len(slots)
+        pos = np.zeros((bucket, 3), np.float32)
+        desc = np.zeros((bucket, 8), np.uint32)
+        maxd = np.full(bucket, 1.0, np.float32)
+        ok = np.zeros(bucket, bool)
+        pos[:n] = st.mp_pos[slots]
+        desc[:n] = st.mp_desc[slots]
+        maxd[:n] = st.mp_max_dist[slots]
+        ok[:n] = True
+
+        Tcw_pred = (self.velocity @ self.last_frame.pose_cw).astype(np.float32)
+        orb = self.settings.orb
+        inp = pipeline.TrackInputs(
+            image=jnp.asarray(image),
+            Tcw_guess=jnp.asarray(Tcw_pred),
+            K=jnp.asarray(self.settings.camera.K),
+            mp_pos=jnp.asarray(pos),
+            mp_desc=jnp.asarray(desc),
+            mp_max_dist=jnp.asarray(maxd),
+            mp_valid=jnp.asarray(ok),
+        )
+        out = pipeline.tracking_step(
+            inp, n_features=orb.n_features, n_levels=orb.n_levels,
+            scale=orb.scale_factor, hw=tuple(image.shape[:2]),
+            window_th=self.p.fused_window_th,
+        )
+        feats = out.features
+        n_inl = int(out.n_inliers)
+        octave = np.asarray(feats.octave)
+        frame = Frame(
+            frame_id=next(_frame_ids),
+            timestamp=timestamp,
+            K=self.settings.camera.K.copy(),
+            xy=np.asarray(feats.xy), xy_raw=np.asarray(feats.xy),
+            octave=octave,
+            angle=np.asarray(feats.angle), response=np.asarray(feats.response),
+            desc=np.asarray(feats.desc), valid=np.asarray(feats.valid),
+            hw=image.shape[:2],
+            sigma2=(orb.scale_factor ** (2.0 * octave)).astype(np.float32),
+        )
+        match_local = np.asarray(out.match_mp)
+        has = match_local >= 0
+        frame.mp[has] = slots[np.clip(match_local[has], 0, n - 1)]
+        if n_inl < self.p.min_inliers_local:
+            # fall back to the staged path with extraction reused
+            self._track(frame)
+            return frame
+        frame.pose_cw = np.asarray(out.Tcw)
+        self.matches_inliers = n_inl
+        tracked = frame.mp[frame.mp != NO_MP]
+        st.increase_visible(tracked, log=False)
+        st.increase_found(tracked, log=False)
+        self.state = TrackingState.OK
+        self.lost_count = 0
+        self.velocity = frame.pose_cw @ np.linalg.inv(self.last_frame.pose_cw)
+        if self._need_new_keyframe(frame):
+            self._create_new_keyframe(frame)
+        return frame
 
     # ------------------------------------------------------------ initialization
     def _depth_initialization(self, frame: Frame, min_points: int = 50):
