@@ -82,14 +82,22 @@ def build_frame(
             th_high=float(orb.ini_th_fast),
             th_low=float(orb.min_th_fast),
         )
-    xy_raw = np.asarray(feats.xy)
+    # ONE batched device->host transfer for the whole feature set
+    # (per-array fetches cost seconds through a tunneled TPU)
+    from ..utils.device import fetch
+
     if np.any(cam.dist[:4] != 0):
-        xy = np.asarray(
-            ex.undistort_points(feats.xy, jnp.asarray(cam.K), jnp.asarray(cam.dist))
+        xy_dev = ex.undistort_points(feats.xy, jnp.asarray(cam.K), jnp.asarray(cam.dist))
+        xy_raw, xy, octave, angle_, resp_, desc_, valid_ = fetch(
+            feats.xy, xy_dev, feats.octave, feats.angle, feats.response,
+            feats.desc, feats.valid,
         )
     else:
+        xy_raw, octave, angle_, resp_, desc_, valid_ = fetch(
+            feats.xy, feats.octave, feats.angle, feats.response,
+            feats.desc, feats.valid,
+        )
         xy = xy_raw
-    octave = np.asarray(feats.octave)
     sig2 = ex.scale_sigma2(orb.n_levels, orb.scale_factor)[octave]
     kp_depth = None
     if depth_image is not None:
@@ -102,13 +110,13 @@ def build_frame(
         frame_id=next(_frame_ids),
         timestamp=timestamp,
         K=cam.K.copy(),
-        xy=xy,
-        xy_raw=xy_raw,
-        octave=octave,
-        angle=np.asarray(feats.angle),
-        response=np.asarray(feats.response),
-        desc=np.asarray(feats.desc),
-        valid=np.asarray(feats.valid),
+        xy=np.asarray(xy),
+        xy_raw=np.asarray(xy_raw),
+        octave=np.asarray(octave),
+        angle=np.asarray(angle_),
+        response=np.asarray(resp_),
+        desc=np.asarray(desc_),
+        valid=np.asarray(valid_),
         hw=image.shape[:2],
         sigma2=sig2,
         kp_depth=kp_depth,

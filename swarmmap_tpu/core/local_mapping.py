@@ -19,11 +19,91 @@ import jax.numpy as jnp
 
 from ..ops import ba as ba_ops
 from ..ops import matching, triangulate as tri
+from ..utils.device import fetch
 from ..utils.logging import get_logger
 from ..utils.padding import pad_slots
 from .map_store import NO_MP, MapStore
 
 _log = get_logger("mapping")
+
+
+# ---------------------------------------------------------------------------
+# Batched device programs: all covisible neighbors in ONE dispatch.
+# A tunneled TPU charges ~70ms per host round trip, so the per-neighbor
+# match/triangulate/check loop (~30 round trips per keyframe) is folded
+# into a single vmapped program with one fetch.
+# ---------------------------------------------------------------------------
+
+import functools
+
+import jax
+
+
+@jax.jit
+def _batched_triangulate(
+    nodes1, free1, uv1, desc1, angle1, sig2_1, P1, T1, c1,
+    nodes2, free2, uv2, desc2, angle2, sig2_2, F12, P2, T2, c2, nb_ok,
+):
+    """vmap over neighbors: epipolar-gated BoW match + DLT triangulation +
+    quality checks.  Leading axis of the *2 args = neighbor."""
+
+    def per_nb(nodes2, free2, uv2, desc2, angle2, sig2_2, F12, P2, T2, c2, ok):
+        mask = matching.node_mask(nodes1, nodes2, free1, free2 & ok)
+        mask &= matching.epipolar_mask(uv1, uv2, F12, sig2_2, free1, free2)
+        m = matching.masked_match(
+            desc1, desc2, mask, max_dist=matching.TH_LOW, ratio=0.0,
+            angle_q=angle1, angle_t=angle2, check_rotation=True,
+        )
+        uv2m = uv2[m.idx]
+        pts = tri.triangulate(P1, P2, uv1, uv2m)
+        finite = jnp.isfinite(pts).all(axis=1)
+        z1 = (pts @ T1[:3, :3].T + T1[:3, 3])[:, 2]
+        z2 = (pts @ T2[:3, :3].T + T2[:3, 3])[:, 2]
+        e1 = tri.reprojection_error2(P1, pts, uv1)
+        e2 = tri.reprojection_error2(P2, pts, uv2m)
+        cosp = tri.parallax_cos(c1, c2, pts)
+        good = (
+            m.valid & finite & (z1 > 0) & (z2 > 0)
+            & (e1 < 5.991 * sig2_1) & (e2 < 5.991 * sig2_2[m.idx])
+            & (cosp < 0.9998)
+        )
+        return m.idx, good, pts
+
+    return jax.vmap(per_nb)(
+        nodes2, free2, uv2, desc2, angle2, sig2_2, F12, P2, T2, c2, nb_ok
+    )
+
+
+@jax.jit
+def _batched_fuse_match(
+    mp_pos, mp_desc, mp_maxd, mp_ok,
+    kf_Tcw, kf_K, kf_uv, kf_oct, kf_valid, kf_desc, kf_ok,
+    hw_h, hw_w, scale, n_levels, window_th,
+):
+    """vmap over target keyframes: project one shared candidate point set
+    into each and window-match (the SearchInNeighbors fuse step)."""
+
+    def per_kf(Tcw, K, uv_t, oct_t, valid_t, desc_t, ok):
+        pc = (Tcw[:3, :3] @ mp_pos.T).T + Tcw[:3, 3]
+        z = pc[:, 2]
+        u = K[0, 0] * pc[:, 0] / jnp.maximum(z, 1e-6) + K[0, 2]
+        v = K[1, 1] * pc[:, 1] / jnp.maximum(z, 1e-6) + K[1, 2]
+        visible = (
+            mp_ok & ok & (z > 0.05)
+            & (u >= 0) & (u < hw_w) & (v >= 0) & (v < hw_h)
+        )
+        pred_oct = matching.predicted_octave(z, mp_maxd, scale, n_levels)
+        radius = window_th * jnp.asarray(scale) ** pred_oct.astype(jnp.float32)
+        mask = matching.window_mask(
+            jnp.stack([u, v], 1), uv_t, radius, visible, valid_t,
+            t_octave=oct_t, oct_lo=pred_oct - 1, oct_hi=pred_oct + 1,
+        )
+        m = matching.masked_match(
+            mp_desc, desc_t, mask, max_dist=matching.TH_LOW, ratio=0.0
+        )
+        return m.idx, m.valid
+
+    return jax.vmap(per_kf)(kf_Tcw, kf_K, kf_uv, kf_oct, kf_valid, kf_desc, kf_ok)
 
 
 class LocalMapping:
@@ -97,20 +177,34 @@ class LocalMapping:
                 kept.append(m)
         self.recent_mps = kept
 
-    def _create_new_map_points(self, k: int, n_neighbors: int = 10):
+    def _create_new_map_points(self, k: int, n_neighbors: int = 8):
         st = self.store
         neighbors = st.covisible_kfs(k, n_neighbors)
+        if not neighbors:
+            return
         K1 = st.kf_K[k]
-        T1 = st.kf_pose_cw[k]
+        T1 = st.kf_pose_cw[k].astype(np.float32)
         P1 = (K1 @ T1[:3]).astype(np.float32)
-        c1 = st.kf_center(k)
-        created = 0
-        for k2 in neighbors:
-            c2 = st.kf_center(k2)
-            baseline = np.linalg.norm(c2 - c1)
-            # skip tiny baselines relative to scene depth
+        c1 = st.kf_center(k).astype(np.float32)
+        n_kp = st.n_kp
+        B = n_neighbors  # fixed batch: one compile
+        T2 = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        P2 = np.zeros((B, 3, 4), np.float32)
+        F12 = np.zeros((B, 3, 3), np.float32)
+        c2 = np.zeros((B, 3), np.float32)
+        nodes2 = np.full((B, n_kp), -1, np.int32)
+        free2 = np.zeros((B, n_kp), bool)
+        uv2 = np.zeros((B, n_kp, 2), np.float32)
+        desc2 = np.zeros((B, n_kp, 8), np.uint32)
+        angle2 = np.zeros((B, n_kp), np.float32)
+        sig2_2 = np.ones((B, n_kp), np.float32)
+        nb_ok = np.zeros(B, bool)
+        kept_nb = []
+        for bi, k2 in enumerate(neighbors[:B]):
+            c2_i = st.kf_center(k2)
+            baseline = np.linalg.norm(c2_i - c1)
             mps2 = st.kf_kp_mp[k2]
-            live = mps2[(mps2 != NO_MP)]
+            live = mps2[mps2 != NO_MP]
             live = live[st.mp_alive[live]]
             if len(live):
                 depths = (st.mp_pos[live] @ st.kf_pose_cw[k2][:3, :3].T
@@ -120,63 +214,50 @@ class LocalMapping:
                 med_depth = 1.0
             if baseline / max(med_depth, 1e-9) < 0.01:
                 continue
-            # fundamental matrix F12 between the two keyframes
-            T2 = st.kf_pose_cw[k2]
-            T12 = T1 @ np.linalg.inv(T2)
+            T2_i = st.kf_pose_cw[k2].astype(np.float32)
+            T12 = T1 @ np.linalg.inv(T2_i)
             R12, t12 = T12[:3, :3], T12[:3, 3]
             tx = np.array(
                 [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]], [-t12[1], t12[0], 0]],
                 np.float32,
             )
             K2 = st.kf_K[k2]
-            F12 = np.linalg.inv(K1).T @ tx @ R12 @ np.linalg.inv(K2)
-
-            free1 = st.kf_kp_valid[k] & (st.kf_kp_mp[k] == NO_MP)
-            free2 = st.kf_kp_valid[k2] & (st.kf_kp_mp[k2] == NO_MP)
-            sig2_2 = self.scale_factor ** (2.0 * st.kf_kp_octave[k2])
-            mask = matching.node_mask(
-                jnp.asarray(st.kf_nodes[k]), jnp.asarray(st.kf_nodes[k2]),
-                jnp.asarray(free1), jnp.asarray(free2),
-            ) & matching.epipolar_mask(
-                jnp.asarray(st.kf_kp_uv[k]), jnp.asarray(st.kf_kp_uv[k2]),
-                jnp.asarray(F12), jnp.asarray(sig2_2, jnp.float32),
-                jnp.asarray(free1), jnp.asarray(free2),
-            )
-            m = matching.masked_match(
-                jnp.asarray(st.kf_desc[k]), jnp.asarray(st.kf_desc[k2]), mask,
-                max_dist=matching.TH_LOW, ratio=0.0,
-                angle_q=jnp.asarray(st.kf_kp_angle[k]),
-                angle_t=jnp.asarray(st.kf_kp_angle[k2]),
-                check_rotation=True,
-            )
-            idx = np.asarray(m.idx)
-            valid = np.asarray(m.valid)
-            if not valid.any():
-                continue
-            # batched triangulation of all matches
-            P2 = (K2 @ T2[:3]).astype(np.float32)
-            uv1 = st.kf_kp_uv[k]
-            uv2 = st.kf_kp_uv[k2][idx]
-            pts = np.asarray(
-                tri.triangulate(jnp.asarray(P1), jnp.asarray(P2),
-                                jnp.asarray(uv1), jnp.asarray(uv2))
-            )
-            z1 = (pts @ T1[:3, :3].T + T1[:3, 3])[:, 2]
-            z2 = (pts @ T2[:3, :3].T + T2[:3, 3])[:, 2]
-            e1 = np.asarray(tri.reprojection_error2(jnp.asarray(P1), jnp.asarray(pts), jnp.asarray(uv1)))
-            e2 = np.asarray(tri.reprojection_error2(jnp.asarray(P2), jnp.asarray(pts), jnp.asarray(uv2)))
-            cosp = np.asarray(tri.parallax_cos(jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(pts)))
-            sig2_1 = self.scale_factor ** (2.0 * st.kf_kp_octave[k])
-            good = (
-                valid & np.isfinite(pts).all(1)
-                & (z1 > 0) & (z2 > 0)
-                & (e1 < 5.991 * sig2_1) & (e2 < 5.991 * sig2_2[idx])
-                & (cosp < 0.9998)
-            )
+            T2[bi] = T2_i
+            P2[bi] = (K2 @ T2_i[:3]).astype(np.float32)
+            F12[bi] = np.linalg.inv(K1).T @ tx @ R12 @ np.linalg.inv(K2)
+            c2[bi] = c2_i
+            nodes2[bi] = st.kf_nodes[k2]
+            free2[bi] = st.kf_kp_valid[k2] & (st.kf_kp_mp[k2] == NO_MP)
+            uv2[bi] = st.kf_kp_uv[k2]
+            desc2[bi] = st.kf_desc[k2]
+            angle2[bi] = st.kf_kp_angle[k2]
+            sig2_2[bi] = self.scale_factor ** (2.0 * st.kf_kp_octave[k2])
+            nb_ok[bi] = True
+            kept_nb.append((bi, k2))
+        if not kept_nb:
+            return
+        free1 = st.kf_kp_valid[k] & (st.kf_kp_mp[k] == NO_MP)
+        sig2_1 = (self.scale_factor ** (2.0 * st.kf_kp_octave[k])).astype(np.float32)
+        # ONE device dispatch for all neighbors, ONE fetch
+        idx_b, good_b, pts_b = fetch(_batched_triangulate(
+            jnp.asarray(st.kf_nodes[k]), jnp.asarray(free1),
+            jnp.asarray(st.kf_kp_uv[k]), jnp.asarray(st.kf_desc[k]),
+            jnp.asarray(st.kf_kp_angle[k]), jnp.asarray(sig2_1),
+            jnp.asarray(P1), jnp.asarray(T1), jnp.asarray(c1),
+            jnp.asarray(nodes2), jnp.asarray(free2), jnp.asarray(uv2),
+            jnp.asarray(desc2), jnp.asarray(angle2), jnp.asarray(sig2_2),
+            jnp.asarray(F12), jnp.asarray(P2), jnp.asarray(T2),
+            jnp.asarray(c2), jnp.asarray(nb_ok),
+        ))
+        idx_b, good_b, pts_b = np.asarray(idx_b), np.asarray(good_b), np.asarray(pts_b)
+        created = 0
+        claimed = np.zeros(n_kp, bool)  # first neighbor wins a keypoint
+        for bi, k2 in kept_nb:
+            good = good_b[bi] & ~claimed
             for i in np.where(good)[0]:
-                j = int(idx[i])
+                j = int(idx_b[bi, i])
                 mp = st.add_map_point(
-                    pts[i], st.kf_desc[k, i], ref_kf=k,
+                    pts_b[bi, i], st.kf_desc[k, i], ref_kf=k,
                     cam_velocity=float(st.kf_velocity[k]),
                 )
                 st.add_observation(mp, k, int(i))
@@ -184,76 +265,88 @@ class LocalMapping:
                 st.compute_distinctive_descriptor(mp)
                 st.update_normal_and_depth(mp, self.scale_factor, self.n_levels)
                 self.recent_mps.append(mp)
+                claimed[i] = True
                 created += 1
         if created:
             st.update_connections(k)
 
-    def _fuse_neighbors(self, k: int, window_th: float = 3.0):
-        """Project each neighbor's points into k (and vice versa), merge
-        duplicates (reference: SearchInNeighbors + ORBmatcher::Fuse)."""
+    def _fuse_neighbors(self, k: int, window_th: float = 3.0,
+                        max_targets: int = 8, cand_bucket: int = 2048):
+        """Project the neighborhood's shared candidate point set into every
+        target keyframe and merge duplicates — one vmapped device dispatch
+        (reference: SearchInNeighbors + ORBmatcher::Fuse)."""
         st = self.store
-        neighbors = st.covisible_kfs(k, 10)
+        neighbors = st.covisible_kfs(k, max_targets - 1)
         targets = [k] + neighbors
+        # shared candidate set: union of all targets' points
+        cand: set[int] = set()
         for tk in targets:
-            # collect candidate points from the other side
-            sources = neighbors if tk == k else [k]
-            cand = set()
-            for sk in sources:
-                for m in st.kf_kp_mp[sk]:
-                    if m != NO_MP and st.mp_alive[m]:
-                        cand.add(int(m))
-            if not cand:
-                continue
-            slots = np.asarray(sorted(cand), np.int32)
-            self._fuse_into_kf(tk, slots, window_th)
+            mps = st.kf_kp_mp[tk]
+            for m in mps[mps != NO_MP]:
+                if st.mp_alive[m]:
+                    cand.add(int(m))
+        if not cand:
+            return
+        slots = np.fromiter(cand, np.int32)[:cand_bucket]
+        n = len(slots)
+        mp_pos = np.zeros((cand_bucket, 3), np.float32)
+        mp_desc = np.zeros((cand_bucket, 8), np.uint32)
+        mp_maxd = np.ones(cand_bucket, np.float32)
+        mp_ok = np.zeros(cand_bucket, bool)
+        mp_pos[:n] = st.mp_pos[slots]
+        mp_desc[:n] = st.mp_desc[slots]
+        mp_maxd[:n] = st.mp_max_dist[slots]
+        mp_ok[:n] = True
+
+        B = max_targets
+        n_kp = st.n_kp
+        kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        kf_K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        kf_uv = np.zeros((B, n_kp, 2), np.float32)
+        kf_oct = np.zeros((B, n_kp), np.int32)
+        kf_valid = np.zeros((B, n_kp), bool)
+        kf_desc = np.zeros((B, n_kp, 8), np.uint32)
+        kf_ok = np.zeros(B, bool)
+        for bi, tk in enumerate(targets[:B]):
+            kf_Tcw[bi] = st.kf_pose_cw[tk]
+            kf_K[bi] = st.kf_K[tk]
+            kf_uv[bi] = st.kf_kp_uv[tk]
+            kf_oct[bi] = st.kf_kp_octave[tk]
+            kf_valid[bi] = st.kf_kp_valid[tk]
+            kf_desc[bi] = st.kf_desc[tk]
+            kf_ok[bi] = True
+        hw = st.kf_hw[k]
+        idx_b, valid_b = fetch(_batched_fuse_match(
+            jnp.asarray(mp_pos), jnp.asarray(mp_desc), jnp.asarray(mp_maxd),
+            jnp.asarray(mp_ok),
+            jnp.asarray(kf_Tcw), jnp.asarray(kf_K), jnp.asarray(kf_uv),
+            jnp.asarray(kf_oct), jnp.asarray(kf_valid), jnp.asarray(kf_desc),
+            jnp.asarray(kf_ok),
+            float(hw[0]), float(hw[1]), self.scale_factor, self.n_levels,
+            window_th,
+        ))
+        idx_b, valid_b = np.asarray(idx_b), np.asarray(valid_b)
+        for bi, tk in enumerate(targets[:B]):
+            for qi in np.where(valid_b[bi])[0]:
+                mp_new = int(slots[qi]) if qi < n else NO_MP
+                if mp_new == NO_MP or not st.mp_alive[mp_new]:
+                    continue
+                kp = int(idx_b[bi, qi])
+                mp_old = int(st.kf_kp_mp[tk, kp])
+                if mp_old != NO_MP and st.mp_alive[mp_old]:
+                    if mp_old == mp_new:
+                        continue
+                    if len(st.obs.get(mp_old, {})) >= len(st.obs.get(mp_new, {})):
+                        st.replace_mp(mp_new, mp_old)
+                    else:
+                        st.replace_mp(mp_old, mp_new)
+                else:
+                    st.add_observation(mp_new, tk, kp)
         for kp, m in enumerate(st.kf_kp_mp[k]):
             if m != NO_MP and st.mp_alive[m]:
                 st.compute_distinctive_descriptor(int(m))
                 st.update_normal_and_depth(int(m), self.scale_factor, self.n_levels)
         st.update_connections(k)
-
-    def _fuse_into_kf(self, k: int, slots: np.ndarray, window_th: float):
-        st = self.store
-        slots, slot_ok = pad_slots(np.asarray(slots, np.int32))
-        Tcw = st.kf_pose_cw[k]
-        hw = tuple(int(x) for x in st.kf_hw[k])
-        uv, depth, visible = matching.project_to_frame(
-            jnp.asarray(Tcw), jnp.asarray(st.kf_K[k]),
-            jnp.asarray(st.mp_pos[slots]), hw,
-        )
-        visible = visible & jnp.asarray(slot_ok)
-        pred_oct = matching.predicted_octave(
-            depth, jnp.asarray(st.mp_max_dist[slots]), self.scale_factor, self.n_levels
-        )
-        radius = window_th * jnp.asarray(self.scale_factor) ** pred_oct.astype(jnp.float32)
-        mask = matching.window_mask(
-            uv, jnp.asarray(st.kf_kp_uv[k]), radius,
-            visible, jnp.asarray(st.kf_kp_valid[k]),
-            t_octave=jnp.asarray(st.kf_kp_octave[k]),
-            oct_lo=pred_oct - 1, oct_hi=pred_oct + 1,
-        )
-        m = matching.masked_match(
-            jnp.asarray(st.mp_desc[slots]), jnp.asarray(st.kf_desc[k]), mask,
-            max_dist=matching.TH_LOW, ratio=0.0,
-        )
-        idx = np.asarray(m.idx)
-        valid = np.asarray(m.valid)
-        for qi in np.where(valid)[0]:
-            mp_new = int(slots[qi])
-            kp = int(idx[qi])
-            mp_old = int(st.kf_kp_mp[k, kp])
-            if not st.mp_alive[mp_new]:
-                continue
-            if mp_old != NO_MP and st.mp_alive[mp_old]:
-                if mp_old == mp_new:
-                    continue
-                # keep the better-observed point
-                if len(st.obs.get(mp_old, {})) >= len(st.obs.get(mp_new, {})):
-                    st.replace_mp(mp_new, mp_old)
-                else:
-                    st.replace_mp(mp_old, mp_new)
-            else:
-                st.add_observation(mp_new, k, kp)
 
     # ------------------------------------------------------------------
     def _local_ba(self, k: int, max_cams: int = 16, max_pts: int = 4096,
@@ -310,15 +403,16 @@ class LocalMapping:
             st.mp_pos[pts], obs_cam, obs_pt, obs_uv, obs_is2,
         )
         res = ba_ops.bundle_adjust(prob, iters_a=5, iters_b=10, mode="dense")
-        Tcw_new = np.asarray(res.Tcw)
-        pts_new = np.asarray(res.pts)
+        Tcw_new, pts_new, obs_inl = fetch(res.Tcw, res.pts, res.obs_inlier)
+        Tcw_new = np.asarray(Tcw_new)
+        pts_new = np.asarray(pts_new)
         for i, c in enumerate(cams):
             if not fixed[i]:
                 st.set_kf_pose(c, Tcw_new[i])
         for m, i in pt_index.items():
             st.set_mp_pos(m, pts_new[i])
         # prune outlier observations (ignore padded tail)
-        inl = np.asarray(res.obs_inlier)[: len(obs_cam)]
+        inl = np.asarray(obs_inl)[: len(obs_cam)]
         for o in np.where(~inl)[0]:
             m = pts[obs_pt[o]]
             c = cams[obs_cam[o]]

@@ -77,12 +77,14 @@ class System:
             n_levels=orb.n_levels, scale=orb.scale_factor,
             th_high=float(orb.ini_th_fast), th_low=float(orb.min_th_fast),
         )
-        depth = np.asarray(stereo.stereo_depths(
+        from ..utils.device import fetch
+
+        depth = np.asarray(fetch(stereo.stereo_depths(
             featsL.xy, featsL.desc, featsL.octave, featsL.valid,
             featsR.xy, featsR.desc, featsR.octave, featsR.valid,
             fx=float(self.settings.camera.fx), baseline=baseline,
             scale=orb.scale_factor,
-        ))
+        )))
         # hand the left features' depths to the tracker via kp_depth;
         # build_frame re-extracts deterministically so indices align
         return self.tracking.grab(left, timestamp, kp_depth=depth)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..ops import matching, pnp, pose_opt, twoview
 from ..ops import ba as ba_ops
 from ..utils.config import Settings
+from ..utils.device import fetch
 from ..utils.padding import bucket_size, pad_rows, pad_slots
 from ..utils.logging import get_logger
 from .frame import Frame, build_frame, _frame_ids
@@ -228,27 +229,33 @@ class Tracking:
             window_th=self.p.fused_window_th,
         )
         feats = out.features
-        n_inl = int(out.n_inliers)
-        octave = np.asarray(feats.octave)
+        # ONE batched device->host transfer for everything the host needs
+        (Tcw_np, n_inl, match_local, f_xy, f_oct, f_ang, f_resp, f_desc,
+         f_valid) = fetch(
+            out.Tcw, out.n_inliers, out.match_mp, feats.xy, feats.octave,
+            feats.angle, feats.response, feats.desc, feats.valid,
+        )
+        n_inl = int(n_inl)
+        octave = np.asarray(f_oct)
         frame = Frame(
             frame_id=next(_frame_ids),
             timestamp=timestamp,
             K=self.settings.camera.K.copy(),
-            xy=np.asarray(feats.xy), xy_raw=np.asarray(feats.xy),
+            xy=np.asarray(f_xy), xy_raw=np.asarray(f_xy),
             octave=octave,
-            angle=np.asarray(feats.angle), response=np.asarray(feats.response),
-            desc=np.asarray(feats.desc), valid=np.asarray(feats.valid),
+            angle=np.asarray(f_ang), response=np.asarray(f_resp),
+            desc=np.asarray(f_desc), valid=np.asarray(f_valid),
             hw=image.shape[:2],
             sigma2=(orb.scale_factor ** (2.0 * octave)).astype(np.float32),
         )
-        match_local = np.asarray(out.match_mp)
+        match_local = np.asarray(match_local)
         has = match_local >= 0
         frame.mp[has] = slots[np.clip(match_local[has], 0, n - 1)]
         if n_inl < self.p.min_inliers_local:
             # fall back to the staged path with extraction reused
             self._track(frame)
             return frame
-        frame.pose_cw = np.asarray(out.Tcw)
+        frame.pose_cw = np.asarray(Tcw_np)
         self.matches_inliers = n_inl
         tracked = frame.mp[frame.mp != NO_MP]
         st.increase_visible(tracked, log=False)
@@ -311,8 +318,8 @@ class Tracking:
             angle_q=jnp.asarray(ref.angle), angle_t=jnp.asarray(frame.angle),
             check_rotation=True,
         )
-        idx = np.asarray(m.idx)
-        valid = np.asarray(m.valid)
+        idx, valid = fetch(m.idx, m.valid)
+        idx, valid = np.asarray(idx), np.asarray(valid)
         if valid.sum() < self.p.init_min_matches:
             self.init_frame = frame  # slide the reference forward
             return
@@ -321,11 +328,14 @@ class Tracking:
             jnp.asarray(valid), jnp.asarray(frame.K, jnp.float32),
             self._split_key(),
         )
-        if not bool(rec.success):
+        ok, inliers, R21, t21, pts3d = fetch(
+            rec.success, rec.inliers, rec.R21, rec.t21, rec.pts3d
+        )
+        if not bool(ok):
             return
-        self._create_initial_map(ref, frame, idx, np.asarray(rec.inliers),
-                                 np.asarray(rec.R21), np.asarray(rec.t21),
-                                 np.asarray(rec.pts3d))
+        self._create_initial_map(ref, frame, idx, np.asarray(inliers),
+                                 np.asarray(R21), np.asarray(t21),
+                                 np.asarray(pts3d))
 
     def _create_initial_map(self, ref, frame, match_idx, inliers, R21, t21, pts3d):
         st = self.store
@@ -386,8 +396,9 @@ class Tracking:
             st.mp_pos[mps], obs_cam, obs_pt, obs_uv, obs_is2,
         )
         res = ba_ops.bundle_adjust(prob, iters_a=10, iters_b=10, mode="dense")
-        st.kf_pose_cw[k2] = np.asarray(res.Tcw)[1]
-        st.mp_pos[mps] = np.asarray(res.pts)[: len(mps)]
+        Tcw_np, pts_np = fetch(res.Tcw, res.pts)
+        st.kf_pose_cw[k2] = np.asarray(Tcw_np)[1]
+        st.mp_pos[mps] = np.asarray(pts_np)[: len(mps)]
 
     def _insert_keyframe(self, frame: Frame) -> int:
         st = self.store
@@ -467,7 +478,8 @@ class Tracking:
             jnp.asarray(st.mp_desc[slots]), jnp.asarray(frame.desc), mask,
             max_dist=matching.TH_HIGH, ratio=0.0,
         )
-        return slots, np.asarray(m.idx), np.asarray(m.valid), np.asarray(visible)
+        idx, valid, vis = fetch(m.idx, m.valid, visible)
+        return slots, np.asarray(idx), np.asarray(valid), np.asarray(vis)
 
     def _pose_opt_frame(self, frame: Frame) -> int:
         """Run LM pose optimization on the frame's current associations;
@@ -484,8 +496,9 @@ class Tracking:
             jnp.asarray(1.0 / frame.sigma2),
             jnp.asarray(valid),
         )
-        frame.pose_cw = np.asarray(res.Tcw)
-        inl = np.asarray(res.inliers)
+        Tcw_np, inl = fetch(res.Tcw, res.inliers)
+        frame.pose_cw = np.asarray(Tcw_np)
+        inl = np.asarray(inl)
         frame.mp[valid & ~inl] = NO_MP
         return int(inl.sum())
 
@@ -533,8 +546,8 @@ class Tracking:
             angle_q=jnp.asarray(st.kf_kp_angle[k]), angle_t=jnp.asarray(frame.angle),
             check_rotation=True,
         )
-        idx = np.asarray(m.idx)
-        valid = np.asarray(m.valid)
+        idx, valid = fetch(m.idx, m.valid)
+        idx, valid = np.asarray(idx), np.asarray(valid)
         if valid.sum() < 15:
             return False
         frame.mp[:] = NO_MP
@@ -608,8 +621,8 @@ class Tracking:
                 jnp.asarray(st.kf_desc[k]), jnp.asarray(frame.desc), node_m,
                 max_dist=matching.TH_LOW, ratio=0.75,
             )
-            idx = np.asarray(m.idx)
-            valid = np.asarray(m.valid)
+            idx, valid = fetch(m.idx, m.valid)
+            idx, valid = np.asarray(idx), np.asarray(valid)
             if valid.sum() < 15:
                 continue
             # gather 3D-2D correspondences
@@ -631,8 +644,9 @@ class Tracking:
                 jnp.asarray(ok_p), jnp.asarray(frame.K),
                 self._split_key(), min_inliers=self.p.min_inliers_reloc,
             )
-            if bool(res.success):
-                frame.pose_cw = np.asarray(res.Tcw)
+            ok_r, Tcw_r = fetch(res.success, res.Tcw)
+            if bool(ok_r):
+                frame.pose_cw = np.asarray(Tcw_r)
                 frame.mp[:] = NO_MP
                 kf_mps = st.kf_kp_mp[k]
                 for kp_q in np.where(valid)[0]:
@@ -660,7 +674,13 @@ class Tracking:
             self.matches_inliers < self.p.kf_ref_ratio * max(ref_matches, 1)
             and self.matches_inliers > self.p.kf_min_inliers
         )
-        return (c1 or since >= 1) and c2
+        # synchronous mapping has no "mapping busy" back-pressure (the
+        # reference throttles insertion when LocalMapping is occupied,
+        # Tracking::NeedNewKeyFrame); emulate it with a minimum gap that
+        # yields when the view is changing fast (tracked support dropping)
+        min_gap = max(int(0.2 * max_frames), 2)
+        urgent = self.matches_inliers < 0.75 * max(ref_matches, 1)
+        return (c1 or since >= min_gap or urgent) and c2
 
     def _create_new_keyframe(self, frame: Frame):
         k = self._insert_keyframe(frame)

@@ -19,6 +19,7 @@ from ..core.map_store import NO_MP, MapStore
 from ..ops import matching, pose_graph, sim3 as sim3_ops, sim3_opt
 from ..ops import ba as ba_ops
 from ..ops.vocab import Vocabulary
+from ..utils.device import fetch
 from ..utils.logging import get_logger
 from ..utils.padding import pad_rows, bucket_size
 
@@ -108,8 +109,8 @@ class LoopClosing:
             jnp.asarray(st.kf_desc[k]), jnp.asarray(st.kf_desc[cand]), node_m,
             max_dist=matching.TH_LOW, ratio=0.75,
         )
-        idx = np.asarray(m.idx)
-        valid = np.asarray(m.valid)
+        idx, valid = fetch(m.idx, m.valid)
+        idx, valid = np.asarray(idx), np.asarray(valid)
         if valid.sum() < 20:
             return None
         # matched map point pairs in each camera frame
@@ -133,7 +134,8 @@ class LoopClosing:
             jnp.asarray(st.kf_K[k]), jnp.asarray(st.kf_K[cand]),
             self._split_key(), min_inliers=self.min_sim3_inliers,
         )
-        if not bool(res.success):
+        r_ok, r_s, r_R, r_t = fetch(res.success, res.s, res.R, res.t)
+        if not bool(r_ok):
             return None
         # refine with the Sim3 optimizer (reference: OptimizeSim3)
         uv1 = st.kf_kp_uv[k][kq]
@@ -141,7 +143,7 @@ class LoopClosing:
         is2_1 = 1.0 / self.scale_factor ** (2.0 * st.kf_kp_octave[k][kq])
         is2_2 = 1.0 / self.scale_factor ** (2.0 * st.kf_kp_octave[cand][np.asarray(idx)[kq]])
         opt = sim3_opt.optimize_sim3(
-            res.s, res.R, res.t,
+            jnp.asarray(r_s), jnp.asarray(r_R), jnp.asarray(r_t),
             jnp.asarray(pad_rows(pc1.astype(np.float32), b)),
             jnp.asarray(pad_rows(pc2.astype(np.float32), b)),
             jnp.asarray(pad_rows(uv1.astype(np.float32), b)),
@@ -150,9 +152,10 @@ class LoopClosing:
             jnp.asarray(pad_rows(is2_2.astype(np.float32), b)),
             jnp.asarray(okp), jnp.asarray(st.kf_K[k]), jnp.asarray(st.kf_K[cand]),
         )
-        if int(opt.n_inliers) < self.min_sim3_inliers:
+        o_n, o_s, o_R, o_t = fetch(opt.n_inliers, opt.s, opt.R, opt.t)
+        if int(o_n) < self.min_sim3_inliers:
             return None
-        return float(opt.s), np.asarray(opt.R), np.asarray(opt.t), (mp1, mp2)
+        return float(o_s), np.asarray(o_R), np.asarray(o_t), (mp1, mp2)
 
     # ------------------------------------------------------------------
     def correct_loop(self, k: int, loop_kf: int, s: float, R: np.ndarray,
@@ -239,9 +242,7 @@ class LoopClosing:
             jnp.ones(len(ei), bool), jnp.asarray(fixed), jnp.ones(n, bool),
             iters=15,
         )
-        R_new = np.asarray(nodes.R)
-        t_new = np.asarray(nodes.t)
-        s_new = np.asarray(nodes.s)
+        R_new, t_new, s_new = (np.asarray(x) for x in fetch(nodes.R, nodes.t, nodes.s))
 
         # correct map points using their reference keyframe's old/new Sim3
         old_R = st.kf_pose_cw[slots][:, :3, :3].copy()
@@ -303,8 +304,7 @@ class LoopClosing:
         )
         res = ba_ops.bundle_adjust(prob, iters_a=iters // 2, iters_b=iters - iters // 2,
                                    mode="cg", cg_iters=32)
-        Tn = np.asarray(res.Tcw)
-        pn = np.asarray(res.pts)
+        Tn, pn = (np.asarray(x) for x in fetch(res.Tcw, res.pts))
         for i, kk in enumerate(kfs):
             if not fixed[i]:
                 st.set_kf_pose(int(kk), Tn[i])

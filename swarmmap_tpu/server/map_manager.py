@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ..core.map_store import NO_MP, MapStore
 from ..ops import matching
+from ..utils.device import fetch
 from ..utils.logging import get_logger
 from ..utils.padding import pad_slots
 from ..utils.trajectory import save_tum
@@ -117,8 +118,8 @@ class MapManager:
                 jnp.asarray(st_s.mp_desc[slots_p]), jnp.asarray(st_d.kf_desc[k]),
                 mask, max_dist=matching.TH_LOW, ratio=0.0,
             )
-            idx = np.asarray(m.idx)
-            valid = np.asarray(m.valid)
+            idx, valid = fetch(m.idx, m.valid)
+            idx, valid = np.asarray(idx), np.asarray(valid)
             for qi in np.where(valid)[0]:
                 kp = int(idx[qi])
                 mp_old = int(st_d.kf_kp_mp[k, kp])

@@ -22,6 +22,7 @@ from ..ops.vocab import Vocabulary
 from ..sync import codec
 from ..sync.oplog import Mapit, MapSlice, full_archive
 from ..utils.logging import get_logger
+from ..utils.device import fetch
 from ..utils.padding import bucket_size, pad_rows
 from .landmark_scoring import LandmarkScoring
 from .loop_closing import LoopClosing
@@ -96,12 +97,16 @@ class AgentMediator:
 
     # ------------------------------------------------------------------ overlap
     def check_overlap_candidates(self, new_kf_slots: list[int],
-                                 consistency_th: int = 2) -> bool:
+                                 consistency_th: int = 2,
+                                 max_sim3_attempts: int = 4) -> bool:
         """Cross-agent place recognition: query every OTHER mediator's
         database with our new keyframes (reference:
-        AgentMediator::CheckOverlapCandidates)."""
+        AgentMediator::CheckOverlapCandidates).  Sim3 attempts are
+        budgeted per push — each costs several device round trips, and a
+        failing candidate pair will be retried on the next push anyway."""
         st = self.store
         merged = False
+        attempts = 0
         for k in new_kf_slots:
             if not st.kf_alive[k]:
                 continue
@@ -122,6 +127,9 @@ class AgentMediator:
                     )
                     if self.overlap_consistency[key] < consistency_th:
                         continue
+                    if attempts >= max_sim3_attempts:
+                        return merged
+                    attempts += 1
                     res = self.get_sim3(k, other, cand)
                     if res is not None:
                         s, R, t = res
@@ -157,8 +165,8 @@ class AgentMediator:
             jnp.asarray(st1.kf_desc[k]), jnp.asarray(st2.kf_desc[cand]), node_m,
             max_dist=matching.TH_LOW, ratio=0.75,
         )
-        idx = np.asarray(m.idx)
-        valid = np.asarray(m.valid)
+        idx, valid = fetch(m.idx, m.valid)
+        idx, valid = np.asarray(idx), np.asarray(valid)
         if valid.sum() < 20:
             return None
         kq = np.where(valid)[0]
@@ -190,14 +198,15 @@ class AgentMediator:
             chi2_1=jnp.asarray(chi2_1), chi2_2=jnp.asarray(chi2_2),
             min_inliers=20,
         )
-        if not bool(res.success):
+        r_ok, r_s, r_R, r_t = fetch(res.success, res.s, res.R, res.t)
+        if not bool(r_ok):
             return None
         uv1 = st1.kf_kp_uv[k][kq]
         uv2 = st2.kf_kp_uv[cand][idx[kq]]
         is2_1 = 1.0 / sig2_1
         is2_2 = 1.0 / sig2_2
         opt = sim3_opt.optimize_sim3(
-            res.s, res.R, res.t,
+            jnp.asarray(r_s), jnp.asarray(r_R), jnp.asarray(r_t),
             jnp.asarray(pad_rows(pc1.astype(np.float32), b)),
             jnp.asarray(pad_rows(pc2.astype(np.float32), b)),
             jnp.asarray(pad_rows(uv1.astype(np.float32), b)),
@@ -206,13 +215,14 @@ class AgentMediator:
             jnp.asarray(pad_rows(is2_2.astype(np.float32), b)),
             jnp.asarray(okp), jnp.asarray(st1.kf_K[k]), jnp.asarray(st2.kf_K[cand]),
         )
+        o_n, o_s, o_R, o_t = fetch(opt.n_inliers, opt.s, opt.R, opt.t)
         # reference accepts >=40 inliers for cross-map merges (:342);
         # threshold scales with the per-frame feature budget
-        if int(opt.n_inliers) < self.min_merge_inliers:
+        if int(o_n) < self.min_merge_inliers:
             return None
         _log.info("cross-map sim3: map %d kf %d <-> map %d kf %d (%d inliers, s=%.3f)",
-                  self.map_id, k, other.map_id, cand, int(opt.n_inliers), float(opt.s))
-        return float(opt.s), np.asarray(opt.R), np.asarray(opt.t)
+                  self.map_id, k, other.map_id, cand, int(o_n), float(o_s))
+        return float(o_s), np.asarray(o_R), np.asarray(o_t)
 
     # ------------------------------------------------------------------
     def segment_map(self) -> list[list[int]]:

@@ -120,22 +120,34 @@ class Swarm:
         become a single vmapped call)."""
         live = [(a, img) for a, img in zip(self.agents, images) if img is not None]
         feats_per_agent: list = [None] * len(live)
-        if len(live) > 1 and all(img.shape == live[0][1].shape for _, img in live):
+        # agents on the steady-state fused path extract INSIDE their fused
+        # program; batch-extract only for the rest (initializing / lost)
+        from .core.tracking import TrackingState
+
+        needs_ext = [
+            i for i, (a, _) in enumerate(live)
+            if not (a.system.tracking.p.use_fused_step
+                    and a.system.tracking.state == TrackingState.OK
+                    and a.system.tracking.velocity is not None)
+        ]
+        if len(needs_ext) > 1 and all(
+            live[i][1].shape == live[needs_ext[0]][1].shape for i in needs_ext
+        ):
             import jax.numpy as jnp
 
             from .ops import extractor as ex
 
             orb = self.settings.orb
             batch = ex.extract_orb_batched(
-                jnp.asarray(np.stack([img for _, img in live])),
+                jnp.asarray(np.stack([live[i][1] for i in needs_ext])),
                 n_features=orb.n_features, n_levels=orb.n_levels,
                 scale=orb.scale_factor, th_high=float(orb.ini_th_fast),
                 th_low=float(orb.min_th_fast),
             )
-            feats_per_agent = [
-                ex.FrameFeatures(*(leaf[i] for leaf in batch))
-                for i in range(len(live))
-            ]
+            for j, i in enumerate(needs_ext):
+                feats_per_agent[i] = ex.FrameFeatures(
+                    *(leaf[j] for leaf in batch)
+                )
         for (agent, img), feats in zip(live, feats_per_agent):
             agent.track(img, ts, features=feats)
         self.frame_count += 1
