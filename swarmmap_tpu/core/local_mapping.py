@@ -151,11 +151,21 @@ class LocalMapping:
     # ------------------------------------------------------------------
     def _process_new_keyframe(self, k: int):
         st = self.store
-        for kp, m in enumerate(st.kf_kp_mp[k]):
-            if m != NO_MP and st.mp_alive[m]:
-                st.compute_distinctive_descriptor(int(m))
-                st.update_normal_and_depth(int(m), self.scale_factor, self.n_levels)
+        self._refresh_dirty()
         st.update_connections(k)
+
+    def _refresh_dirty(self):
+        """Recompute descriptors/normals ONLY for points whose observation
+        sets changed — the reference recomputes on every mutation inline
+        (MapPoint::ComputeDistinctiveDescriptors call sites); batching by
+        dirty set is equivalent at keyframe granularity and removes a
+        multi-second python loop per keyframe."""
+        st = self.store
+        for m in list(st.dirty_mps):
+            if st.mp_alive[m]:
+                st.compute_distinctive_descriptor(m)
+                st.update_normal_and_depth(m, self.scale_factor, self.n_levels)
+        st.dirty_mps.clear()
 
     def _cull_map_points(self, k: int):
         """Recent-point quality gate (reference: MapPointCulling)."""
@@ -262,7 +272,6 @@ class LocalMapping:
                 )
                 st.add_observation(mp, k, int(i))
                 st.add_observation(mp, k2, j)
-                st.compute_distinctive_descriptor(mp)
                 st.update_normal_and_depth(mp, self.scale_factor, self.n_levels)
                 self.recent_mps.append(mp)
                 claimed[i] = True
@@ -342,10 +351,7 @@ class LocalMapping:
                         st.replace_mp(mp_old, mp_new)
                 else:
                     st.add_observation(mp_new, tk, kp)
-        for kp, m in enumerate(st.kf_kp_mp[k]):
-            if m != NO_MP and st.mp_alive[m]:
-                st.compute_distinctive_descriptor(int(m))
-                st.update_normal_and_depth(int(m), self.scale_factor, self.n_levels)
+        self._refresh_dirty()
         st.update_connections(k)
 
     # ------------------------------------------------------------------

@@ -128,6 +128,9 @@ class MapStore:
 
         # restoration queues for out-of-order sync (Map.cc:401-423)
         self.pending_obs: list[tuple[int, int, int]] = []  # (mp_gid, kf_gid, kp)
+        # points whose observation sets changed since last refresh — the
+        # descriptor/normal recompute loops only touch these
+        self.dirty_mps: set[int] = set()
 
     # -- logging hook --------------------------------------------------------
     def _emit(self, kind: str, func: str, gid: int, args: tuple, log: bool):
@@ -325,6 +328,7 @@ class MapStore:
             self.obs[old_mp].pop(k, None)
         self.kf_kp_mp[k, kp_idx] = m
         self._update_covis_pair(m, k, +1)
+        self.dirty_mps.add(int(m))
         self._emit("mp", "AddObservation", int(self.mp_gid[m]),
                    (int(self.kf_gid[k]), kp_idx), log)
 
@@ -335,6 +339,7 @@ class MapStore:
         if self.kf_kp_mp[k, kp_idx] == m:
             self.kf_kp_mp[k, kp_idx] = NO_MP
         self._update_covis_pair(m, k, -1)
+        self.dirty_mps.add(int(m))
         self._emit("mp", "EraseObservation", int(self.mp_gid[m]),
                    (int(self.kf_gid[k]),), log)
         if len(self.obs[m]) <= 1 and self.mp_alive[m]:
@@ -367,6 +372,7 @@ class MapStore:
                 self._update_covis_pair(m_new, k, +1)
         self.mp_found[m_new] += self.mp_found[m_old]
         self.mp_visible[m_new] += self.mp_visible[m_old]
+        self.dirty_mps.add(int(m_new))
         self.obs[m_old] = {}
         self.mp_alive[m_old] = False
         self._emit("mp", "Replace", int(self.mp_gid[m_old]),
