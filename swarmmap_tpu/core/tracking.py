@@ -174,20 +174,15 @@ class Tracking:
                 if st.kf_alive[k]:
                     counts[k] = counts.get(k, 0) + 1
         local_kfs = sorted(counts, key=counts.get, reverse=True)[:60]
-        slots: set[int] = set(seed)
-        for k in local_kfs:
-            mps = st.kf_kp_mp[k]
-            for m in mps[mps != NO_MP]:
-                mi = int(m)
-                if st.mp_alive[mi]:
-                    slots.add(mi)
-                    if len(slots) >= self.p.fused_local_bucket:
-                        break
-            if len(slots) >= self.p.fused_local_bucket:
-                break
         if local_kfs:
             self.ref_kf = local_kfs[0]
-        return np.fromiter(slots, np.int32)
+            rows = st.kf_kp_mp[np.asarray(local_kfs)]
+            cand = np.unique(rows[rows != NO_MP])
+            cand = cand[st.mp_alive[cand]]
+            slots = np.union1d(np.asarray(seed, np.int64), cand)
+        else:
+            slots = np.unique(np.asarray(seed, np.int64))
+        return slots[: self.p.fused_local_bucket].astype(np.int32)
 
     def _track_fused(self, image: np.ndarray, timestamp: float) -> Frame | None:
         """One device dispatch for the whole steady-state frame:
