@@ -23,7 +23,17 @@ BASELINE_FPS = 20.0  # EuRoC camera rate -> real-time bar (BASELINE.md)
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # persistent compile cache: tunnel compiles cost minutes; cached runs
+    # start in seconds
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from swarmmap_tpu import pipeline
