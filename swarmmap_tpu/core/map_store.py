@@ -322,12 +322,22 @@ class MapStore:
         prev = self.obs[m].get(k)
         if prev == kp_idx:
             return
-        self.obs[m][k] = kp_idx
+        # steal the target keypoint from whichever point held it,
+        # keeping its covisibility contributions consistent
         old_mp = self.kf_kp_mp[k, kp_idx]
-        if old_mp != NO_MP and old_mp != m and old_mp in self.obs:
+        if old_mp != NO_MP and old_mp != m and k in self.obs.get(old_mp, {}):
+            self._update_covis_pair(int(old_mp), k, -1)
             self.obs[old_mp].pop(k, None)
+            self.dirty_mps.add(int(old_mp))
+        self.obs[m][k] = kp_idx
         self.kf_kp_mp[k, kp_idx] = m
-        self._update_covis_pair(m, k, +1)
+        if prev is None:
+            self._update_covis_pair(m, k, +1)
+        elif self.kf_kp_mp[k, prev] == m:
+            # re-observation at a different keypoint (the reference's
+            # Fuse skips pMP->IsInKeyFrame(pKF)): re-link without
+            # double-counting the (m, k) covisibility pair
+            self.kf_kp_mp[k, prev] = NO_MP
         self.dirty_mps.add(int(m))
         self._emit("mp", "AddObservation", int(self.mp_gid[m]),
                    (int(self.kf_gid[k]), kp_idx), log)
@@ -433,10 +443,12 @@ class MapStore:
         n = np.mean(normals, axis=0)
         self.mp_normal[m] = n / max(np.linalg.norm(n), 1e-9)
         ref = int(self.mp_ref_kf[m])
-        if ref < 0 or not self.kf_alive[ref]:
+        if ref not in ob or not self.kf_alive[ref]:
+            # fall back to an actual observer so the center and octave
+            # come from the same keyframe
             ref = next(iter(ob))
         dist = np.linalg.norm(pos - self.kf_center(ref))
-        level = int(self.kf_kp_octave[ref, ob.get(ref, next(iter(ob.values())))])
+        level = int(self.kf_kp_octave[ref, ob[ref]])
         self.mp_max_dist[m] = dist * scale_factor**level
         self.mp_min_dist[m] = self.mp_max_dist[m] / scale_factor ** (n_levels - 1)
         self._emit("mp", "UpdateNormalAndDepth", int(self.mp_gid[m]),
@@ -456,15 +468,46 @@ class MapStore:
                 if d[b] <= 0:
                     del d[b]
 
-    def update_connections(self, k: int, min_weight: int = 15, log: bool = True):
-        """Set spanning-tree parent from the strongest covisible
-        (reference: KeyFrame::UpdateConnections)."""
-        con = self.covis.get(k, {})
-        if con and self.kf_parent[k] < 0 and k != 0:
-            best = max(con, key=con.get)
+    def update_connections(self, k: int, min_weight: int = 15,
+                           log: bool = True) -> list[int]:
+        """Rebuild keyframe k's covisibility row from its kp->mp table,
+        re-pick the spanning-tree parent, and return the connected
+        keyframes ordered by weight (reference:
+        KeyFrame::UpdateConnections, src/KeyFrame.cc).
+
+        `covis` always stores EXACT shared-observation counts (the
+        incremental deltas in _update_covis_pair rely on that
+        invariant); the reference's >=min_weight rule selects the
+        *connected* set — every neighbor at or above the threshold, or
+        the single best neighbor when none reaches it — which is what
+        this returns.
+        """
+        counts: dict[int, int] = {}
+        row = self.kf_kp_mp[k]
+        for m in np.unique(row[row != NO_MP]):
+            m = int(m)
+            if not self.mp_alive[m]:
+                continue
+            for k2 in self.obs.get(m, {}):
+                if k2 != k and self.kf_alive[k2]:
+                    counts[k2] = counts.get(k2, 0) + 1
+        # symmetric repair of the row (fixes any incremental drift)
+        old = self.covis.get(k, {})
+        for k2 in set(old) - set(counts):
+            self.covis.get(k2, {}).pop(k, None)
+        for k2, w in counts.items():
+            self.covis.setdefault(k2, {})[k] = w
+        self.covis[k] = dict(counts)
+        if counts and self.kf_parent[k] < 0 and k != 0:
+            best = max(counts, key=counts.get)
             if self.kf_gid[best] < self.kf_gid[k]:
                 self.kf_parent[k] = best
         self._emit("kf", "UpdateConnections", int(self.kf_gid[k]), (), log)
+        ordered = sorted(counts.items(), key=lambda kv: -kv[1])
+        connected = [k2 for k2, w in ordered if w >= min_weight]
+        if not connected and ordered:
+            connected = [ordered[0][0]]
+        return connected
 
     def covisible_kfs(self, k: int, n: int = 0, min_weight: int = 1) -> list[int]:
         con = [
@@ -491,12 +534,18 @@ class MapStore:
         return cnt
 
     # -- global (world) coordinates ------------------------------------------------------
+    def check_transform(self, s: float) -> bool:
+        """Dry-run of the set_transform scale guard (no mutation) — lets
+        group rebasing be applied atomically across member maps."""
+        g = self.transform_guard
+        ratio = s / max(float(self.Twl_s), 1e-12)
+        return self.Twl_s == 1.0 or (g.scale_lo <= ratio <= g.scale_hi)
+
     def set_transform(self, R: np.ndarray, t: np.ndarray, s: float,
                       log: bool = True) -> bool:
         """Guarded Twl update (reference: Map::SetTransform)."""
-        g = self.transform_guard
-        ratio = s / max(float(self.Twl_s), 1e-12)
-        if self.Twl_s != 1.0 and not (g.scale_lo <= ratio <= g.scale_hi):
+        if not self.check_transform(s):
+            ratio = s / max(float(self.Twl_s), 1e-12)
             _log.warning("rejecting scale jump %.3f on map %d", ratio, self.map_id)
             return False
         if float(self.Twl_s) == 1.0 and np.allclose(self.Twl_R, np.eye(3)):
@@ -504,7 +553,7 @@ class MapStore:
                 R.astype(np.float32), t.astype(np.float32), np.float32(s))
         else:
             # blend toward the new transform (reference slerp ratio 0.9)
-            b = g.blend
+            b = self.transform_guard.blend
             from ..utils.trajectory import rot_to_quat, quat_to_rot
             q0, q1 = rot_to_quat(self.Twl_R), rot_to_quat(R)
             if np.dot(q0, q1) < 0:

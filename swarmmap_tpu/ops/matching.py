@@ -195,6 +195,62 @@ def predicted_octave(
     return jnp.clip(lvl, 0, n_levels - 1)
 
 
+@jax.jit
+def sim3_guided_match(
+    pc1, mp_ok1, mp_desc1, mind1, maxd1,
+    uv1, oct1, kp_ok1, desc_kf1, K1, hw1,
+    pc2, mp_ok2, mp_desc2, mind2, maxd2,
+    uv2, oct2, kp_ok2, desc_kf2, K2, hw2,
+    s12, R12, t12, th, scale, n_levels,
+):
+    """Mutual Sim3-guided matching (reference: ORBmatcher::SearchBySim3,
+    ORBmatcher.cc:1011-1222).
+
+    Inputs are per-keypoint arrays of the two keyframes: `pcX` = each
+    keypoint's map-point position in ITS OWN camera frame, `mp_okX`
+    gates keypoints that hold an alive, not-already-matched map point.
+    (s12, R12, t12) maps camera-2 coords into camera-1 coords.  Each
+    direction projects one side's points into the other image, window-
+    searches with scale-invariance + predicted-octave gates, and a pair
+    survives only when both directions agree (the reference's
+    vnMatch1/vnMatch2 cross-check).  Returns (idx2, valid) over KF1's
+    keypoints."""
+    f32 = jnp.float32
+    sR12 = s12 * R12
+    sR21 = (1.0 / s12) * R12.T
+    t21 = -(sR21 @ t12)
+
+    def direction(pc_s, ok_s, desc_s, mind_s, maxd_s,
+                  sR, tt, K_t, uv_t, oct_t, okkp_t, desc_t, hw_t):
+        pt = pc_s @ sR.T + tt
+        z = pt[:, 2]
+        dist = jnp.linalg.norm(pt, axis=1)
+        u = K_t[0, 0] * pt[:, 0] / jnp.maximum(z, 1e-6) + K_t[0, 2]
+        v = K_t[1, 1] * pt[:, 1] / jnp.maximum(z, 1e-6) + K_t[1, 2]
+        vis = (
+            ok_s & (z > 0.0)
+            & (u >= 0) & (u < hw_t[1]) & (v >= 0) & (v < hw_t[0])
+            & (dist >= mind_s) & (dist <= maxd_s)
+        )
+        pred = predicted_octave(dist, maxd_s, scale, n_levels)
+        radius = th * jnp.asarray(scale, f32) ** pred.astype(f32)
+        mask = window_mask(
+            jnp.stack([u, v], 1), uv_t, radius, vis, okkp_t,
+            t_octave=oct_t, oct_lo=pred - 1, oct_hi=pred,
+        )
+        m = masked_match(desc_s, desc_t, mask, max_dist=TH_HIGH, ratio=0.0,
+                         resolve=False)
+        return m.idx, m.valid
+
+    i12, v12 = direction(pc1, mp_ok1, mp_desc1, mind1, maxd1,
+                         sR21, t21, K2, uv2, oct2, kp_ok2, desc_kf2, hw2)
+    i21, v21 = direction(pc2, mp_ok2, mp_desc2, mind2, maxd2,
+                         sR12, t12, K1, uv1, oct1, kp_ok1, desc_kf1, hw1)
+    qi = jnp.arange(pc1.shape[0], dtype=jnp.int32)
+    agree = v12 & v21[i12] & (i21[i12] == qi)
+    return i12, agree
+
+
 @functools.partial(jax.jit, static_argnames=("hw",))
 def project_to_frame(
     Tcw: jnp.ndarray, K: jnp.ndarray, pts_w: jnp.ndarray,

@@ -16,12 +16,12 @@ import jax.numpy as jnp
 
 from ..core.keyframe_db import KeyFrameDatabase
 from ..core.map_store import NO_MP, MapStore
-from ..ops import matching, pose_graph, sim3 as sim3_ops, sim3_opt
+from ..ops import pose_graph
 from ..ops import ba as ba_ops
 from ..ops.vocab import Vocabulary
 from ..utils.device import fetch
 from ..utils.logging import get_logger
-from ..utils.padding import pad_rows, bucket_size
+from . import sim3_match
 
 _log = get_logger("loop")
 
@@ -44,6 +44,7 @@ class LoopClosing:
         self.consistency: dict[int, int] = {}
         self.last_loop_kf = -1
         self.n_loops_closed = 0
+        self.n_fused = 0  # total SearchAndFuse fusions across loops
 
     def _split_key(self):
         self._key, k = jax.random.split(self._key)
@@ -62,7 +63,7 @@ class LoopClosing:
             if res is None:
                 continue
             s, R, t, mp_pairs = res
-            self.correct_loop(k, cand, s, R, t)
+            self.correct_loop(k, cand, s, R, t, mp_pairs)
             self.last_loop_kf = k
             self.n_loops_closed += 1
             return True
@@ -97,69 +98,20 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def compute_sim3(self, k: int, cand: int):
-        """Sim3 between current KF and candidate via matched map points
-        (reference: ComputeSim3)."""
-        st = self.store
-        node_m = matching.node_mask(
-            jnp.asarray(st.kf_nodes[k]), jnp.asarray(st.kf_nodes[cand]),
-            jnp.asarray(st.kf_kp_valid[k] & (st.kf_kp_mp[k] != NO_MP)),
-            jnp.asarray(st.kf_kp_valid[cand] & (st.kf_kp_mp[cand] != NO_MP)),
+        """Sim3 between current KF and candidate via the full shared
+        pipeline — BoW match, RANSAC, SearchBySim3 guided enrichment,
+        OptimizeSim3 (reference: ComputeSim3, LoopClosing.cc:210-370)."""
+        res = sim3_match.compute_sim3_between(
+            self.store, k, self.store, cand, self._split_key(),
+            self.scale_factor, self.n_levels, self.min_sim3_inliers,
         )
-        m = matching.masked_match(
-            jnp.asarray(st.kf_desc[k]), jnp.asarray(st.kf_desc[cand]), node_m,
-            max_dist=matching.TH_LOW, ratio=0.75,
-        )
-        idx, valid = fetch(m.idx, m.valid)
-        idx, valid = np.asarray(idx), np.asarray(valid)
-        if valid.sum() < 20:
+        if res is None:
             return None
-        # matched map point pairs in each camera frame
-        kq = np.where(valid)[0]
-        mp1 = st.kf_kp_mp[k, kq]
-        mp2 = st.kf_kp_mp[cand, idx[kq]]
-        ok = (mp1 != NO_MP) & (mp2 != NO_MP) & st.mp_alive[mp1] & st.mp_alive[mp2]
-        mp1, mp2, kq = mp1[ok], mp2[ok], kq[ok]
-        if len(mp1) < 20:
-            return None
-        T1, T2 = st.kf_pose_cw[k], st.kf_pose_cw[cand]
-        pc1 = st.mp_pos[mp1] @ T1[:3, :3].T + T1[:3, 3]
-        pc2 = st.mp_pos[mp2] @ T2[:3, :3].T + T2[:3, 3]
-        b = bucket_size(len(pc1), 128)
-        okp = np.zeros(b, bool)
-        okp[: len(pc1)] = True
-        res = sim3_ops.ransac_sim3(
-            jnp.asarray(pad_rows(pc1.astype(np.float32), b)),
-            jnp.asarray(pad_rows(pc2.astype(np.float32), b)),
-            jnp.asarray(okp),
-            jnp.asarray(st.kf_K[k]), jnp.asarray(st.kf_K[cand]),
-            self._split_key(), min_inliers=self.min_sim3_inliers,
-        )
-        r_ok, r_s, r_R, r_t = fetch(res.success, res.s, res.R, res.t)
-        if not bool(r_ok):
-            return None
-        # refine with the Sim3 optimizer (reference: OptimizeSim3)
-        uv1 = st.kf_kp_uv[k][kq]
-        uv2 = st.kf_kp_uv[cand][np.asarray(idx)[kq]]
-        is2_1 = 1.0 / self.scale_factor ** (2.0 * st.kf_kp_octave[k][kq])
-        is2_2 = 1.0 / self.scale_factor ** (2.0 * st.kf_kp_octave[cand][np.asarray(idx)[kq]])
-        opt = sim3_opt.optimize_sim3(
-            jnp.asarray(r_s), jnp.asarray(r_R), jnp.asarray(r_t),
-            jnp.asarray(pad_rows(pc1.astype(np.float32), b)),
-            jnp.asarray(pad_rows(pc2.astype(np.float32), b)),
-            jnp.asarray(pad_rows(uv1.astype(np.float32), b)),
-            jnp.asarray(pad_rows(uv2.astype(np.float32), b)),
-            jnp.asarray(pad_rows(is2_1.astype(np.float32), b)),
-            jnp.asarray(pad_rows(is2_2.astype(np.float32), b)),
-            jnp.asarray(okp), jnp.asarray(st.kf_K[k]), jnp.asarray(st.kf_K[cand]),
-        )
-        o_n, o_s, o_R, o_t = fetch(opt.n_inliers, opt.s, opt.R, opt.t)
-        if int(o_n) < self.min_sim3_inliers:
-            return None
-        return float(o_s), np.asarray(o_R), np.asarray(o_t), (mp1, mp2)
+        return res["s"], res["R"], res["t"], (res["mp1"], res["mp2"])
 
     # ------------------------------------------------------------------
     def correct_loop(self, k: int, loop_kf: int, s: float, R: np.ndarray,
-                     t: np.ndarray):
+                     t: np.ndarray, mp_pairs=None):
         """Essential-graph correction (reference: CorrectLoop).
 
         (s,R,t) = S_{k<-loop}: maps loop-KF camera coords into current-KF
@@ -268,10 +220,101 @@ class LoopClosing:
             T[:3, 3] = t_new[i] / s_new[i]
             st.set_kf_pose(int(kk), T)
         st.add_loop_edge(k, loop_kf)
+        # replace the current KF's matched points with the loop points
+        # (reference: the mvpCurrentMatchedPoints loop in CorrectLoop)
+        if mp_pairs is not None:
+            mp_cur, mp_loop = mp_pairs
+            for a, b2 in zip(mp_cur, mp_loop):
+                a, b2 = int(a), int(b2)
+                if a != b2 and st.mp_alive[a] and st.mp_alive[b2]:
+                    st.replace_mp(a, b2)
+        self.n_fused += self.search_and_fuse(k, loop_kf)
         _log.info("loop closed: kf %d <-> kf %d (scale %.3f)", k, loop_kf, s)
 
         if self.run_global_ba:
             self.global_ba()
+
+    # ------------------------------------------------------------------
+    def search_and_fuse(self, k: int, loop_kf: int, window_th: float = 4.0,
+                        max_targets: int = 16, cand_bucket: int = 2048) -> int:
+        """Project the loop side's map points into the current KF's
+        corrected neighborhood and fuse duplicates — the corrected point
+        is REPLACED by the loop point (reference: LoopClosing::SearchAndFuse,
+        LoopClosing.cc:552-576; loop point set :330-340)."""
+        st = self.store
+        loop_side = [loop_kf] + st.covisible_kfs(loop_kf, 10)
+        cand: set[int] = set()
+        for lk in loop_side:
+            mps = st.kf_kp_mp[lk]
+            for m in mps[mps != NO_MP]:
+                if st.mp_alive[m]:
+                    cand.add(int(m))
+        targets = [k] + st.covisible_kfs(k, max_targets - 1)
+        if not cand or not targets:
+            return 0
+        slots = np.fromiter(cand, np.int32)[:cand_bucket]
+        n = len(slots)
+        mp_pos = np.zeros((cand_bucket, 3), np.float32)
+        mp_desc = np.zeros((cand_bucket, 8), np.uint32)
+        mp_maxd = np.ones(cand_bucket, np.float32)
+        mp_ok = np.zeros(cand_bucket, bool)
+        mp_pos[:n] = st.mp_pos[slots]
+        mp_desc[:n] = st.mp_desc[slots]
+        mp_maxd[:n] = st.mp_max_dist[slots]
+        mp_ok[:n] = True
+
+        from ..core.local_mapping import _batched_fuse_match
+
+        B = max_targets
+        n_kp = st.n_kp
+        kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        kf_K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        kf_uv = np.zeros((B, n_kp, 2), np.float32)
+        kf_oct = np.zeros((B, n_kp), np.int32)
+        kf_valid = np.zeros((B, n_kp), bool)
+        kf_desc = np.zeros((B, n_kp, 8), np.uint32)
+        kf_ok = np.zeros(B, bool)
+        nb = min(len(targets), B)
+        for bi, tk in enumerate(targets[:B]):
+            kf_Tcw[bi] = st.kf_pose_cw[tk]
+            kf_K[bi] = st.kf_K[tk]
+            kf_uv[bi] = st.kf_kp_uv[tk]
+            kf_oct[bi] = st.kf_kp_octave[tk]
+            kf_valid[bi] = st.kf_kp_valid[tk]
+            kf_desc[bi] = st.kf_desc[tk]
+            kf_ok[bi] = True
+        hw = st.kf_hw[k]
+        idx_b, valid_b = fetch(_batched_fuse_match(
+            jnp.asarray(mp_pos), jnp.asarray(mp_desc), jnp.asarray(mp_maxd),
+            jnp.asarray(mp_ok),
+            jnp.asarray(kf_Tcw), jnp.asarray(kf_K), jnp.asarray(kf_uv),
+            jnp.asarray(kf_oct), jnp.asarray(kf_valid), jnp.asarray(kf_desc),
+            jnp.asarray(kf_ok),
+            float(hw[0]), float(hw[1]), self.scale_factor, self.n_levels,
+            window_th,
+        ))
+        idx_b, valid_b = np.asarray(idx_b), np.asarray(valid_b)
+        fused = 0
+        for bi, tk in enumerate(targets[:nb]):
+            for qi in np.where(valid_b[bi])[0]:
+                if qi >= n:
+                    continue
+                mp_loop = int(slots[qi])
+                if not st.mp_alive[mp_loop]:
+                    continue
+                kp = int(idx_b[bi, qi])
+                mp_old = int(st.kf_kp_mp[tk, kp])
+                if mp_old != NO_MP and st.mp_alive[mp_old]:
+                    if mp_old == mp_loop:
+                        continue
+                    st.replace_mp(mp_old, mp_loop)  # pRep->Replace(loopMP)
+                else:
+                    st.add_observation(mp_loop, tk, kp)
+                fused += 1
+        if fused:
+            _log.info("SearchAndFuse: %d loop-point fusions across %d keyframes",
+                      fused, nb)
+        return fused
 
     # ------------------------------------------------------------------
     def global_ba(self, iters: int = 10):

@@ -27,6 +27,7 @@ class MapManager:
     def __init__(self):
         self.stores: dict[int, MapStore] = {}   # map_id -> replica
         self.groups: dict[int, set[int]] = {}   # group_id -> {map_id}
+        self.fuse_events: list[tuple[int, int, int]] = []  # (dst, src, n_fused)
 
     def register(self, store: MapStore):
         self.stores[store.map_id] = store
@@ -38,12 +39,15 @@ class MapManager:
 
     # ------------------------------------------------------------------
     def merge(self, map1: int, map2: int, s12: float, R12: np.ndarray,
-              t12: np.ndarray) -> bool:
+              t12: np.ndarray, fuse: bool = True,
+              scale_factor: float = 1.2, n_levels: int = 8) -> bool:
         """Merge map2's group into map1's using S12 = Sim3 taking map2
         LOCAL coords into map1 LOCAL coords (reference: MapManager::MergeMap).
 
         Twl2_new = Twl1 * S12 ; every map in map2's old group is rebased
-        by the same right-composition so relative alignment is kept."""
+        by the same right-composition so relative alignment is kept.
+        After the group algebra, duplicate landmarks are fused and
+        redundant keyframes culled (MapManager.cc:100, :118-209)."""
         st1, st2 = self.stores[map1], self.stores[map2]
         if st1.group_id == st2.group_id:
             return False
@@ -54,20 +58,24 @@ class MapManager:
         # delta applied to all maps of group2:  Twl_m_new = D * Twl_m with
         # D = Twl2_new * Twl2_old^-1
         R2, t2, s2 = st2.Twl_R, st2.Twl_t, float(st2.Twl_s)
-        R2i = R2.T / s2
         Dr = R_new @ R2.T
         Ds = s_new / s2
         Dt = t_new - Ds * (Dr @ t2)
         g2 = sorted(self.groups.get(st2.group_id, {map2}))
-        ok_all = True
+        # dry-run the scale guard for every member FIRST so the group is
+        # rebased atomically (a partial apply would leave it internally
+        # misaligned and a later retry would compound the delta)
+        for mid in g2:
+            sm = self.stores[mid]
+            if not sm.check_transform(Ds * float(sm.Twl_s)):
+                _log.warning("merge rejected by scale guard on member map %d", mid)
+                return False
         for mid in g2:
             sm = self.stores[mid]
             Rm = Dr @ sm.Twl_R
             tm = Ds * (Dr @ sm.Twl_t) + Dt
             ssm = Ds * float(sm.Twl_s)
-            ok_all &= sm.set_transform(Rm, tm, ssm)
-        if not ok_all:
-            return False
+            sm.set_transform(Rm, tm, ssm)
         # union groups: bigger group id wins membership (reference unions
         # by size; we union into group1)
         g1_id, g2_id = st1.group_id, st2.group_id
@@ -76,61 +84,136 @@ class MapManager:
             self.stores[mid].group_id = g1_id
         self.groups.setdefault(g1_id, set()).update(members)
         _log.info("merged map %d group into map %d group (scale %.3f)", map2, map1, s12)
+        if fuse:
+            n = self.fuse(map1, map2, scale_factor=scale_factor,
+                          n_levels=n_levels)
+            self.fuse_events.append((map1, map2, n))
+            if n:
+                self.keyframe_culling(map1)
         return True
 
     # ------------------------------------------------------------------
     def fuse(self, dst: int, src: int, window_th: float = 4.0,
-             scale_factor: float = 1.2, n_levels: int = 8) -> int:
+             scale_factor: float = 1.2, n_levels: int = 8,
+             kf_bucket: int = 32) -> int:
         """Cross-map duplicate fusion: project src's points into every dst
-        keyframe (via the shared group frame) and replace duplicates
-        (reference: MapManager::Fuse)."""
+        keyframe through the shared group frame, REPLACE dst duplicates
+        with the src point, and add observations where the keypoint was
+        free (reference: MapManager::Fuse + ORBmatcher::Fuse +
+        MapPoint::Replace, MapManager.cc:118-153).
+
+        The src point is inserted into dst's store under its foreign gid
+        (positions re-expressed in dst's LOCAL frame), so the dst replica
+        — and, through the next distribute, the dst client — ends up
+        sharing one landmark per physical feature.  Returns the number of
+        fused matches (replacements + new cross-map observations)."""
         st_d, st_s = self.stores[dst], self.stores[src]
         if st_d.group_id != st_s.group_id:
             return 0
         src_slots = st_s.alive_mp_slots()
-        if len(src_slots) == 0:
+        dst_kfs = st_d.alive_kf_slots()
+        if len(src_slots) == 0 or len(dst_kfs) == 0:
             return 0
-        # src positions in dst LOCAL frame
+        # src geometry re-expressed in dst's LOCAL frame:
+        #   x_d = (1/s_d) R_d^T (x_w - t_d),  x_w = s_s R_s x_s + t_s
         pos_w = st_s.mp_global_pos(src_slots)
         Rl = st_d.Twl_R.T / st_d.Twl_s
         pos_d = (pos_w - st_d.Twl_t) @ Rl.T
-        fused = 0
+        nrm_d = (st_s.mp_normal[src_slots] @ st_s.Twl_R.T) @ st_d.Twl_R
+        s_rel = float(st_s.Twl_s) / float(st_d.Twl_s)
+        maxd_d = st_s.mp_max_dist[src_slots] * s_rel
+        mind_d = st_s.mp_min_dist[src_slots] * s_rel
+
         slots_p, slot_ok = pad_slots(np.asarray(src_slots, np.int32))
-        pos_p = np.zeros((len(slots_p), 3), np.float32)
+        nq = len(slots_p)
+        pos_p = np.zeros((nq, 3), np.float32)
         pos_p[: len(pos_d)] = pos_d
-        for k in st_d.alive_kf_slots():
-            uv, depth, visible = matching.project_to_frame(
-                jnp.asarray(st_d.kf_pose_cw[k]), jnp.asarray(st_d.kf_K[k]),
-                jnp.asarray(pos_p), tuple(int(x) for x in st_d.kf_hw[k]),
-            )
-            visible = visible & jnp.asarray(slot_ok)
-            pred_oct = matching.predicted_octave(
-                depth, jnp.asarray(st_s.mp_max_dist[slots_p]), scale_factor, n_levels
-            )
-            radius = window_th * jnp.asarray(scale_factor) ** pred_oct.astype(jnp.float32)
-            mask = matching.window_mask(
-                uv, jnp.asarray(st_d.kf_kp_uv[k]), radius,
-                visible, jnp.asarray(st_d.kf_kp_valid[k]),
-                t_octave=jnp.asarray(st_d.kf_kp_octave[k]),
-                oct_lo=pred_oct - 1, oct_hi=pred_oct + 1,
-            )
-            m = matching.masked_match(
-                jnp.asarray(st_s.mp_desc[slots_p]), jnp.asarray(st_d.kf_desc[k]),
-                mask, max_dist=matching.TH_LOW, ratio=0.0,
-            )
-            idx, valid = fetch(m.idx, m.valid)
-            idx, valid = np.asarray(idx), np.asarray(valid)
-            for qi in np.where(valid)[0]:
-                kp = int(idx[qi])
-                mp_old = int(st_d.kf_kp_mp[k, kp])
-                if mp_old != NO_MP and st_d.mp_alive[mp_old]:
-                    # keep dst's point, remember the cross-map duplicate:
-                    # a full cross-store Replace needs the foreign element
-                    # inserted; round-1 policy keeps per-store points and
-                    # aligns them by the group BA instead.
-                    continue
-                fused += 1
+        desc_p = np.zeros((nq, 8), np.uint32)
+        desc_p[: len(src_slots)] = st_s.mp_desc[src_slots]
+        maxd_p = np.ones(nq, np.float32)
+        maxd_p[: len(src_slots)] = maxd_d
+
+        from ..core.local_mapping import _batched_fuse_match
+
+        fused = 0
+        n_kp = st_d.n_kp
+        hw = st_d.kf_hw[dst_kfs[0]]
+        for lo in range(0, len(dst_kfs), kf_bucket):
+            batch = dst_kfs[lo : lo + kf_bucket]
+            B = kf_bucket
+            kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+            kf_K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+            kf_uv = np.zeros((B, n_kp, 2), np.float32)
+            kf_oct = np.zeros((B, n_kp), np.int32)
+            kf_valid = np.zeros((B, n_kp), bool)
+            kf_desc = np.zeros((B, n_kp, 8), np.uint32)
+            kf_ok = np.zeros(B, bool)
+            nb = len(batch)
+            kf_Tcw[:nb] = st_d.kf_pose_cw[batch]
+            kf_K[:nb] = st_d.kf_K[batch]
+            kf_uv[:nb] = st_d.kf_kp_uv[batch]
+            kf_oct[:nb] = st_d.kf_kp_octave[batch]
+            kf_valid[:nb] = st_d.kf_kp_valid[batch]
+            kf_desc[:nb] = st_d.kf_desc[batch]
+            kf_ok[:nb] = True
+            idx_b, valid_b = fetch(_batched_fuse_match(
+                jnp.asarray(pos_p), jnp.asarray(desc_p), jnp.asarray(maxd_p),
+                jnp.asarray(slot_ok),
+                jnp.asarray(kf_Tcw), jnp.asarray(kf_K), jnp.asarray(kf_uv),
+                jnp.asarray(kf_oct), jnp.asarray(kf_valid), jnp.asarray(kf_desc),
+                jnp.asarray(kf_ok),
+                float(hw[0]), float(hw[1]), scale_factor, n_levels, window_th,
+            ))
+            idx_b, valid_b = np.asarray(idx_b), np.asarray(valid_b)
+            for bi, k in enumerate(batch):
+                k = int(k)
+                for qi in np.where(valid_b[bi])[0]:
+                    if qi >= len(src_slots):
+                        continue
+                    m_new = self._ensure_foreign_point(
+                        st_d, st_s, int(src_slots[qi]), pos_d[qi], nrm_d[qi],
+                        float(mind_d[qi]), float(maxd_d[qi]),
+                    )
+                    if m_new is None:
+                        continue
+                    kp = int(idx_b[bi, qi])
+                    mp_old = int(st_d.kf_kp_mp[k, kp])
+                    if mp_old != NO_MP and st_d.mp_alive[mp_old]:
+                        if mp_old == m_new:
+                            continue
+                        # dst's duplicate is replaced by the src point
+                        # (reference: pRep->Replace(otherMapPoints[i]))
+                        st_d.replace_mp(mp_old, m_new)
+                    else:
+                        st_d.add_observation(m_new, k, kp)
+                    if st_d.mp_ref_kf[m_new] < 0:
+                        st_d.mp_ref_kf[m_new] = k
+                    fused += 1
+        if fused:
+            for k in st_d.alive_kf_slots():
+                st_d.update_connections(int(k), log=False)
+            _log.info("fused %d cross-map matches: map %d <- map %d",
+                      fused, dst, src)
         return fused
+
+    @staticmethod
+    def _ensure_foreign_point(st_d: MapStore, st_s: MapStore, src_slot: int,
+                              pos_d, normal_d, min_d: float, max_d: float):
+        """Insert (or look up) st_s's point in st_d under its foreign gid."""
+        gid = int(st_s.mp_gid[src_slot])
+        m = st_d.mp_by_gid.get(gid)
+        if m is not None:
+            return m if st_d.mp_alive[m] else None
+        m = st_d.add_map_point(
+            pos=pos_d, desc=st_s.mp_desc[src_slot], ref_kf=-1, gid=gid,
+            normal=normal_d, min_dist=min_d, max_dist=max_d,
+            cam_velocity=float(st_s.mp_cam_velocity[src_slot]), log=False,
+        )
+        st_d.mp_visible[m] = st_s.mp_visible[src_slot]
+        st_d.mp_found[m] = st_s.mp_found[src_slot]
+        st_d.mp_created[m] = st_s.mp_created[src_slot]
+        st_d.mp_last_tracked[m] = st_s.mp_last_tracked[src_slot]
+        return m
 
     # ------------------------------------------------------------------
     def keyframe_culling(self, map_id: int, redundancy: float = 0.85):

@@ -17,13 +17,11 @@ import jax.numpy as jnp
 
 from ..core.keyframe_db import KeyFrameDatabase
 from ..core.map_store import NO_MP, MapStore
-from ..ops import matching, sim3 as sim3_ops, sim3_opt
 from ..ops.vocab import Vocabulary
 from ..sync import codec
 from ..sync.oplog import Mapit, MapSlice, full_archive
 from ..utils.logging import get_logger
-from ..utils.device import fetch
-from ..utils.padding import bucket_size, pad_rows
+from . import sim3_match
 from .landmark_scoring import LandmarkScoring
 from .loop_closing import LoopClosing
 from .map_enhancer import MapEnhancer
@@ -152,77 +150,24 @@ class AgentMediator:
         return merged
 
     def get_sim3(self, k: int, other: "AgentMediator", cand: int):
-        """Sim3 between our kf k and other's kf cand
-        (reference: AgentMediator::GetSim3 — BoW match, RANSAC+umeyama,
-        OptimizeSim3 acceptance)."""
-        st1, st2 = self.store, other.store
-        node_m = matching.node_mask(
-            jnp.asarray(st1.kf_nodes[k]), jnp.asarray(st2.kf_nodes[cand]),
-            jnp.asarray(st1.kf_kp_valid[k] & (st1.kf_kp_mp[k] != NO_MP)),
-            jnp.asarray(st2.kf_kp_valid[cand] & (st2.kf_kp_mp[cand] != NO_MP)),
+        """Sim3 between our kf k and other's kf cand via the full shared
+        pipeline — BoW match, RANSAC (per-octave chi2), SearchBySim3
+        guided enrichment, OptimizeSim3 (reference: AgentMediator::GetSim3,
+        AgentMediator.cc:204-382).  The reference accepts >=40 inliers
+        for cross-map merges (:342)."""
+        res = sim3_match.compute_sim3_between(
+            self.store, k, other.store, cand, self._split_key(),
+            self.scale_factor, self.n_levels, self.min_merge_inliers,
         )
-        m = matching.masked_match(
-            jnp.asarray(st1.kf_desc[k]), jnp.asarray(st2.kf_desc[cand]), node_m,
-            max_dist=matching.TH_LOW, ratio=0.75,
+        if res is None:
+            return None
+        _log.info(
+            "cross-map sim3: map %d kf %d <-> map %d kf %d "
+            "(%d inliers = %d bow + %d guided, s=%.3f)",
+            self.map_id, k, other.map_id, cand, res["n_inliers"],
+            res["n_bow"], res["n_guided"], res["s"],
         )
-        idx, valid = fetch(m.idx, m.valid)
-        idx, valid = np.asarray(idx), np.asarray(valid)
-        if valid.sum() < 20:
-            return None
-        kq = np.where(valid)[0]
-        mp1 = st1.kf_kp_mp[k, kq]
-        mp2 = st2.kf_kp_mp[cand, idx[kq]]
-        ok = (mp1 != NO_MP) & (mp2 != NO_MP) & st1.mp_alive[mp1] & st2.mp_alive[mp2]
-        mp1, mp2, kq = mp1[ok], mp2[ok], kq[ok]
-        if len(mp1) < 20:
-            return None
-        T1, T2 = st1.kf_pose_cw[k], st2.kf_pose_cw[cand]
-        pc1 = st1.mp_pos[mp1] @ T1[:3, :3].T + T1[:3, 3]
-        pc2 = st2.mp_pos[mp2] @ T2[:3, :3].T + T2[:3, 3]
-        b = bucket_size(len(pc1), 128)
-        okp = np.zeros(b, bool)
-        okp[: len(pc1)] = True
-        # per-point chi2 gates scaled by keypoint octave (reference:
-        # Sim3Solver uses 9.21 * sigma2 per correspondence)
-        sig2_1 = self.scale_factor ** (2.0 * st1.kf_kp_octave[k][kq])
-        sig2_2 = self.scale_factor ** (2.0 * st2.kf_kp_octave[cand][idx[kq]])
-        chi2_1 = pad_rows((9.21 * sig2_1).astype(np.float32), b)
-        chi2_2 = pad_rows((9.21 * sig2_2).astype(np.float32), b)
-        chi2_1[len(pc1):] = 9.21
-        chi2_2[len(pc1):] = 9.21
-        res = sim3_ops.ransac_sim3(
-            jnp.asarray(pad_rows(pc1.astype(np.float32), b)),
-            jnp.asarray(pad_rows(pc2.astype(np.float32), b)),
-            jnp.asarray(okp), jnp.asarray(st1.kf_K[k]),
-            jnp.asarray(st2.kf_K[cand]), self._split_key(),
-            chi2_1=jnp.asarray(chi2_1), chi2_2=jnp.asarray(chi2_2),
-            min_inliers=20,
-        )
-        r_ok, r_s, r_R, r_t = fetch(res.success, res.s, res.R, res.t)
-        if not bool(r_ok):
-            return None
-        uv1 = st1.kf_kp_uv[k][kq]
-        uv2 = st2.kf_kp_uv[cand][idx[kq]]
-        is2_1 = 1.0 / sig2_1
-        is2_2 = 1.0 / sig2_2
-        opt = sim3_opt.optimize_sim3(
-            jnp.asarray(r_s), jnp.asarray(r_R), jnp.asarray(r_t),
-            jnp.asarray(pad_rows(pc1.astype(np.float32), b)),
-            jnp.asarray(pad_rows(pc2.astype(np.float32), b)),
-            jnp.asarray(pad_rows(uv1.astype(np.float32), b)),
-            jnp.asarray(pad_rows(uv2.astype(np.float32), b)),
-            jnp.asarray(pad_rows(is2_1.astype(np.float32), b)),
-            jnp.asarray(pad_rows(is2_2.astype(np.float32), b)),
-            jnp.asarray(okp), jnp.asarray(st1.kf_K[k]), jnp.asarray(st2.kf_K[cand]),
-        )
-        o_n, o_s, o_R, o_t = fetch(opt.n_inliers, opt.s, opt.R, opt.t)
-        # reference accepts >=40 inliers for cross-map merges (:342);
-        # threshold scales with the per-frame feature budget
-        if int(o_n) < self.min_merge_inliers:
-            return None
-        _log.info("cross-map sim3: map %d kf %d <-> map %d kf %d (%d inliers, s=%.3f)",
-                  self.map_id, k, other.map_id, cand, int(o_n), float(o_s))
-        return float(o_s), np.asarray(o_R), np.asarray(o_t)
+        return res["s"], res["R"], res["t"]
 
     # ------------------------------------------------------------------
     def segment_map(self) -> list[list[int]]:

@@ -1,0 +1,166 @@
+"""Shared Sim3 computation between two keyframes (same or different maps).
+
+Reference spec: the ComputeSim3 pipeline used by both the loop closer
+(/root/reference/code/src/LoopClosing.cc:210-370) and the cross-agent
+mediator (src/AgentMediator.cc:204-382):
+
+  SearchByBoW >= 20 map-point matches
+    -> Sim3Solver RANSAC (per-octave chi2 gates)
+    -> SearchBySim3 guided-match enrichment (ORBmatcher.cc:1011)
+    -> OptimizeSim3 over the ENRICHED correspondence set
+    -> accept at >= min_inliers (20 for loops, 40 for merges).
+
+The round-1 build skipped the SearchBySim3 step — it accepted or
+rejected on the raw BoW set; the reference grows ~20 BoW matches into
+40+ guided matches before judging, which is what makes the 40-inlier
+merge gate reachable.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.map_store import NO_MP, MapStore
+from ..ops import matching, sim3 as sim3_ops, sim3_opt
+from ..utils.device import fetch
+from ..utils.padding import bucket_size, pad_rows
+
+
+def _cam_frame_points(st: MapStore, k: int, mps: np.ndarray) -> np.ndarray:
+    T = st.kf_pose_cw[k]
+    return st.mp_pos[mps] @ T[:3, :3].T + T[:3, 3]
+
+
+def _guided_inputs(st: MapStore, k: int, exclude_kps: np.ndarray):
+    """Per-keypoint arrays for sim3_guided_match: each keypoint's map
+    point position in its own camera frame + gates."""
+    mps = st.kf_kp_mp[k]
+    safe = np.clip(mps, 0, max(st.n_mp - 1, 0))
+    ok = st.kf_kp_valid[k] & (mps != NO_MP) & st.mp_alive[safe]
+    ok[exclude_kps] = False
+    T = st.kf_pose_cw[k]
+    pc = st.mp_pos[safe] @ T[:3, :3].T + T[:3, 3]
+    return (
+        pc.astype(np.float32), ok, st.mp_desc[safe],
+        st.mp_min_dist[safe].astype(np.float32),
+        st.mp_max_dist[safe].astype(np.float32),
+    )
+
+
+def compute_sim3_between(
+    st1: MapStore, k1: int, st2: MapStore, k2: int, rng_key,
+    scale_factor: float, n_levels: int, min_inliers: int,
+    min_bow_matches: int = 20, guided_th: float = 7.5,
+):
+    """Full ComputeSim3 pipeline between (st1, k1) and (st2, k2).
+
+    Returns None on rejection, else a dict with the accepted Sim3
+    S12 (camera-2 -> camera-1 coords), the matched map-point pairs
+    (slot arrays in each store), and the inlier count.
+    """
+    # 1. BoW-node match over keypoints that hold alive map points
+    node_m = matching.node_mask(
+        jnp.asarray(st1.kf_nodes[k1]), jnp.asarray(st2.kf_nodes[k2]),
+        jnp.asarray(st1.kf_kp_valid[k1] & (st1.kf_kp_mp[k1] != NO_MP)),
+        jnp.asarray(st2.kf_kp_valid[k2] & (st2.kf_kp_mp[k2] != NO_MP)),
+    )
+    m = matching.masked_match(
+        jnp.asarray(st1.kf_desc[k1]), jnp.asarray(st2.kf_desc[k2]), node_m,
+        max_dist=matching.TH_LOW, ratio=0.75,
+    )
+    idx, valid = (np.asarray(x) for x in fetch(m.idx, m.valid))
+    if valid.sum() < min_bow_matches:
+        return None
+    kq = np.where(valid)[0]
+    mp1 = st1.kf_kp_mp[k1, kq]
+    mp2 = st2.kf_kp_mp[k2, idx[kq]]
+    ok = (mp1 != NO_MP) & (mp2 != NO_MP) & st1.mp_alive[mp1] & st2.mp_alive[mp2]
+    mp1, mp2, kq = mp1[ok], mp2[ok], kq[ok]
+    kt = idx[kq]
+    if len(mp1) < min_bow_matches:
+        return None
+
+    # 2. RANSAC Sim3 on the camera-frame point pairs, per-octave chi2
+    pc1 = _cam_frame_points(st1, k1, mp1)
+    pc2 = _cam_frame_points(st2, k2, mp2)
+    b = bucket_size(len(pc1), 128)
+    okp = np.zeros(b, bool)
+    okp[: len(pc1)] = True
+    sig2_1 = scale_factor ** (2.0 * st1.kf_kp_octave[k1][kq])
+    sig2_2 = scale_factor ** (2.0 * st2.kf_kp_octave[k2][kt])
+    chi2_1 = pad_rows((9.21 * sig2_1).astype(np.float32), b)
+    chi2_2 = pad_rows((9.21 * sig2_2).astype(np.float32), b)
+    chi2_1[len(pc1):] = 9.21
+    chi2_2[len(pc1):] = 9.21
+    res = sim3_ops.ransac_sim3(
+        jnp.asarray(pad_rows(pc1.astype(np.float32), b)),
+        jnp.asarray(pad_rows(pc2.astype(np.float32), b)),
+        jnp.asarray(okp), jnp.asarray(st1.kf_K[k1]), jnp.asarray(st2.kf_K[k2]),
+        rng_key, chi2_1=jnp.asarray(chi2_1), chi2_2=jnp.asarray(chi2_2),
+        min_inliers=min(min_inliers, 20),
+    )
+    r_ok, r_s, r_R, r_t = fetch(res.success, res.s, res.R, res.t)
+    if not bool(r_ok):
+        return None
+    r_s, r_R, r_t = float(r_s), np.asarray(r_R), np.asarray(r_t)
+
+    # 3. SearchBySim3: grow the correspondence set by mutual guided
+    #    projection under the coarse Sim3 (reference: ORBmatcher.cc:1011)
+    g1 = _guided_inputs(st1, k1, kq)
+    g2 = _guided_inputs(st2, k2, kt)
+    gi, gv = fetch(matching.sim3_guided_match(
+        jnp.asarray(g1[0]), jnp.asarray(g1[1]), jnp.asarray(g1[2]),
+        jnp.asarray(g1[3]), jnp.asarray(g1[4]),
+        jnp.asarray(st1.kf_kp_uv[k1]), jnp.asarray(st1.kf_kp_octave[k1]),
+        jnp.asarray(st1.kf_kp_valid[k1]), jnp.asarray(st1.kf_desc[k1]),
+        jnp.asarray(st1.kf_K[k1]), jnp.asarray(st1.kf_hw[k1].astype(np.float32)),
+        jnp.asarray(g2[0]), jnp.asarray(g2[1]), jnp.asarray(g2[2]),
+        jnp.asarray(g2[3]), jnp.asarray(g2[4]),
+        jnp.asarray(st2.kf_kp_uv[k2]), jnp.asarray(st2.kf_kp_octave[k2]),
+        jnp.asarray(st2.kf_kp_valid[k2]), jnp.asarray(st2.kf_desc[k2]),
+        jnp.asarray(st2.kf_K[k2]), jnp.asarray(st2.kf_hw[k2].astype(np.float32)),
+        jnp.asarray(r_s, jnp.float32), jnp.asarray(r_R, jnp.float32),
+        jnp.asarray(r_t, jnp.float32), jnp.asarray(guided_th, jnp.float32),
+        jnp.asarray(scale_factor, jnp.float32), jnp.asarray(n_levels, jnp.int32),
+    ))
+    gi, gv = np.asarray(gi), np.asarray(gv)
+    gq = np.where(gv)[0]
+    if len(gq):
+        gmp1 = st1.kf_kp_mp[k1, gq]
+        gmp2 = st2.kf_kp_mp[k2, gi[gq]]
+        gok = (gmp1 != NO_MP) & (gmp2 != NO_MP)
+        gq, gmp1, gmp2 = gq[gok], gmp1[gok], gmp2[gok]
+        kq = np.concatenate([kq, gq])
+        kt = np.concatenate([kt, gi[gq]])
+        mp1 = np.concatenate([mp1, gmp1])
+        mp2 = np.concatenate([mp2, gmp2])
+
+    # 4. OptimizeSim3 over the enriched set
+    pc1 = _cam_frame_points(st1, k1, mp1)
+    pc2 = _cam_frame_points(st2, k2, mp2)
+    b = bucket_size(len(pc1), 128)
+    okp = np.zeros(b, bool)
+    okp[: len(pc1)] = True
+    uv1 = st1.kf_kp_uv[k1][kq]
+    uv2 = st2.kf_kp_uv[k2][kt]
+    is2_1 = 1.0 / scale_factor ** (2.0 * st1.kf_kp_octave[k1][kq])
+    is2_2 = 1.0 / scale_factor ** (2.0 * st2.kf_kp_octave[k2][kt])
+    opt = sim3_opt.optimize_sim3(
+        jnp.asarray(r_s, jnp.float32), jnp.asarray(r_R, jnp.float32),
+        jnp.asarray(r_t, jnp.float32),
+        jnp.asarray(pad_rows(pc1.astype(np.float32), b)),
+        jnp.asarray(pad_rows(pc2.astype(np.float32), b)),
+        jnp.asarray(pad_rows(uv1.astype(np.float32), b)),
+        jnp.asarray(pad_rows(uv2.astype(np.float32), b)),
+        jnp.asarray(pad_rows(is2_1.astype(np.float32), b)),
+        jnp.asarray(pad_rows(is2_2.astype(np.float32), b)),
+        jnp.asarray(okp), jnp.asarray(st1.kf_K[k1]), jnp.asarray(st2.kf_K[k2]),
+    )
+    o_n, o_s, o_R, o_t = fetch(opt.n_inliers, opt.s, opt.R, opt.t)
+    if int(o_n) < min_inliers:
+        return None
+    return dict(
+        s=float(o_s), R=np.asarray(o_R), t=np.asarray(o_t),
+        mp1=mp1, mp2=mp2, n_inliers=int(o_n),
+        n_bow=int(len(mp1) - len(gq)), n_guided=int(len(gq)),
+    )

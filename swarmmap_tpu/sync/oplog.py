@@ -150,8 +150,20 @@ class Mapit:
     def _mp_payload(self, m: int) -> dict:
         st = self.store
         ref = int(st.mp_ref_kf[m])
+        # Ship the observation map {kf_gid: kp_idx} with the point (the
+        # reference serializes MapPoint::mIdObservations).  Without it,
+        # observations linking a NEW point to an ALREADY-shipped keyframe
+        # are lost: Mapit.add drops AddObservation records targeting
+        # unshipped points, and the old keyframe never re-ships its
+        # kp->mp table.
+        obs = {
+            int(st.kf_gid[k]): int(kp)
+            for k, kp in st.obs.get(m, {}).items()
+            if st.kf_alive[k]
+        }
         return dict(
             gid=int(st.mp_gid[m]),
+            obs=obs,
             pos=st.mp_pos[m].copy(),
             desc=st.mp_desc[m].copy(),
             normal=st.mp_normal[m].copy(),
@@ -212,6 +224,15 @@ class Mapit:
             st.mp_last_tracked[m] = p["last_tracked"]
             st.mp_to_serialize[m] = False
             self.shipped_mp.add(p["gid"])
+            # replay the shipped observation set (reference restores
+            # mIdObservations on arrival); keyframes not present yet go
+            # to the restoration queue
+            for kf_gid, kp in p.get("obs", {}).items():
+                k = st.kf_by_gid.get(int(kf_gid))
+                if k is not None and st.kf_alive[k]:
+                    st.add_observation(m, k, int(kp), log=False)
+                else:
+                    st.pending_obs.append((p["gid"], int(kf_gid), int(kp)))
         # 3. link keypoint -> map point from payloads
         for k, p in new_kfs:
             if p["parent_gid"] >= 0 and p["parent_gid"] in st.kf_by_gid:

@@ -68,6 +68,27 @@ def test_loop_scale_sane(circuit_run):
     assert rmse < 0.05 * span, f"ATE {rmse:.3f} on span {span:.1f}"
 
 
+def test_loop_search_and_fuse(circuit_run):
+    """After CorrectLoop, SearchAndFuse must merge duplicate landmarks
+    across the loop boundary (reference: LoopClosing.cc:552-576) — map
+    points end up observed by BOTH early (loop-side) and late
+    (current-side) keyframes."""
+    swarm, _, _ = circuit_run
+    lc = swarm.mediators[0].loop_closing
+    assert lc.n_fused > 0, "SearchAndFuse merged nothing"
+    st = swarm.mediators[0].store
+    kfs = st.alive_kf_slots()
+    span = int(kfs.max() - kfs.min())
+    cross = 0
+    for m, ob in st.obs.items():
+        if not st.mp_alive[m] or len(ob) < 2:
+            continue
+        ks = list(ob)
+        if max(ks) - min(ks) > 0.5 * span:
+            cross += 1
+    assert cross > 0, "no landmark observed across the loop boundary"
+
+
 def test_loop_edges_recorded(circuit_run):
     swarm, _, _ = circuit_run
     st = swarm.mediators[0].store

@@ -88,6 +88,33 @@ def test_cross_agent_fusion(swarm_run):
     assert st0.group_id == st1.group_id
 
 
+def test_cross_map_point_fusion(swarm_run):
+    """After the Sim3 merge, MapManager.fuse must actually deduplicate:
+    the dst replica holds the src map's landmarks under their foreign
+    gids, and dst-native duplicates were Replaced (reference:
+    MapManager::Fuse + MapPoint::Replace, MapManager.cc:118-153)."""
+    from swarmmap_tpu import MAP_BASE
+
+    swarm, _ = swarm_run
+    events = swarm.map_manager.fuse_events
+    assert events, "merge never triggered a fuse pass"
+    total_fused = sum(n for _, _, n in events)
+    assert total_fused > 0, f"fuse matched nothing: {events}"
+    dst, src, _ = max(events, key=lambda e: e[2])
+    st_d = swarm.map_manager.stores[dst]
+    # foreign landmarks present under their original ids
+    gids = st_d.mp_gid[: st_d.n_mp][st_d.mp_alive[: st_d.n_mp]]
+    n_foreign = int(np.sum(gids // MAP_BASE != dst))
+    assert n_foreign > 0
+    # foreign points are observed by dst keyframes (either via Replace or
+    # via free-keypoint AddObservation)
+    observed_foreign = 0
+    for m, ob in st_d.obs.items():
+        if st_d.mp_alive[m] and int(st_d.mp_gid[m]) // MAP_BASE != dst and ob:
+            observed_foreign += 1
+    assert observed_foreign > 0
+
+
 def test_sts_priority_ordering():
     """Unstable agents outrank stable ones regardless of contribution."""
     from swarmmap_tpu.core.tracking import SystemState
