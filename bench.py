@@ -1,13 +1,20 @@
 """Driver benchmark: 3-agent EuRoC-geometry tracking throughput on TPU.
 
-Measures the fused per-frame tracking program (ORB extraction at 752x480,
-1000 features, 8 pyramid levels + guided matching against a 2048-point
-local map + LM pose optimization) batched over 3 agents — the workload
-shape of the reference's headline 3-agent EuRoC MH01-03 configuration
-(BASELINE.md).  Baseline bar: EuRoC camera rate (20 fps/agent = real
-time); the reference's own north-star target is 2x that.
+Headline metric: the fused per-frame tracking program (ORB extraction at
+752x480, 1000 features, 8 pyramid levels + guided matching against a
+2048-point local map + LM pose optimization) batched over 3 agents — the
+workload shape of the reference's headline 3-agent EuRoC MH01-03
+configuration (BASELINE.md).  Baseline bar: EuRoC camera rate
+(20 fps/agent = real time); the reference's own north-star is 2x that.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+The same JSON line also reports the FULL system (`Swarm.step`: the
+batched fused cohort + keyframe creation + local mapping + sync +
+server) measured on a synthetic 3-agent sequence at the same geometry.
+On this container every dispatch/fetch pays the axon tunnel's ~30-80 ms
+RPC round trip (a real TPU host pays microseconds), so the swarm numbers
+are a lower bound dominated by tunnel RPC, not device time.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations
 
@@ -20,6 +27,60 @@ N_FEATURES = 1000
 N_LEVELS = 8
 N_MAP_POINTS = 2048
 BASELINE_FPS = 20.0  # EuRoC camera rate -> real-time bar (BASELINE.md)
+
+
+def bench_swarm_step(budget_s: float = 420.0) -> dict:
+    """Real combined-mode throughput: Swarm.step on synthetic sequences
+    (3 agents, EuRoC geometry, full server loop, no viewer)."""
+    import numpy as np
+
+    from swarmmap_tpu.swarm import Swarm, SwarmConfig
+    from swarmmap_tpu.utils import datasets
+    from swarmmap_tpu.utils.config import CameraConfig, OrbConfig, Settings
+
+    n_frames = 60
+    seqs = [
+        datasets.synthesize_sequence(
+            n_frames=n_frames, hw=HW, seed=a, agent=a, n_points=1500
+        )
+        for a in range(N_AGENTS)
+    ]
+    w = seqs[0].world
+    settings = Settings(
+        camera=CameraConfig(
+            fx=float(w.K[0, 0]), fy=float(w.K[1, 1]),
+            cx=float(w.K[0, 2]), cy=float(w.K[1, 2]),
+            fps=BASELINE_FPS, width=HW[1], height=HW[0],
+        ),
+        orb=OrbConfig(n_features=N_FEATURES, n_levels=N_LEVELS),
+    )
+    swarm = Swarm(N_AGENTS, settings,
+                  config=SwarmConfig(push_every=20, report_every=10),
+                  run_server_gba=False)
+    t_start = time.perf_counter()
+    times = []
+    done = 0
+    for i in range(n_frames):
+        t0 = time.perf_counter()
+        swarm.step([s.read(i) for s in seqs], float(seqs[0].timestamps[i]))
+        times.append(time.perf_counter() - t0)
+        done += 1
+        if time.perf_counter() - t_start > budget_s:
+            break
+    # steady state: skip the init/compile-heavy first third
+    tail = sorted(times[max(done // 3, 1):]) or sorted(times)
+    import statistics
+
+    p50 = statistics.median(tail)
+    p95 = tail[min(int(0.95 * len(tail)), len(tail) - 1)]
+    tracked = min(a.frames_tracked for a in swarm.agents)
+    return {
+        "swarm_fps_per_agent": round(1.0 / p50, 2),
+        "swarm_step_p50_ms": round(p50 * 1e3, 1),
+        "swarm_step_p95_ms": round(p95 * 1e3, 1),
+        "swarm_frames": done,
+        "swarm_min_tracked": int(tracked),
+    }
 
 
 def main() -> None:
@@ -69,12 +130,22 @@ def main() -> None:
         fps_per_agent = 1.0 / dt  # all agents advance one frame per step
         best = max(best, fps_per_agent)
 
-    print(json.dumps({
+    record = {
         "metric": "tracking_fps_per_agent_3agent_euroc_geom",
         "value": round(best, 2),
         "unit": "frames/s/agent",
         "vs_baseline": round(best / BASELINE_FPS, 3),
-    }))
+    }
+    # full-system measurement (Swarm.step); never fails the bench
+    try:
+        record.update(bench_swarm_step())
+        record["swarm_note"] = (
+            "swarm numbers include ~30-80ms axon-tunnel RPC per "
+            "dispatch/fetch that a real TPU host does not pay"
+        )
+    except Exception as e:  # noqa: BLE001
+        record["swarm_error"] = repr(e)[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

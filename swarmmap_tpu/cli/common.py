@@ -33,8 +33,15 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
 
 
 def load_vocab(path: str) -> Vocabulary:
+    """Load a vocabulary by extension: .npz (native), .bin (reference
+    DBoW2 binary, e.g. ORBvoc.bin — README.md:139), .txt (DBoW2 text)."""
     if path and Path(path).exists():
         _log.info("loading vocabulary %s", path)
+        suffix = Path(path).suffix.lower()
+        if suffix == ".bin":
+            return Vocabulary.load_dbow2_bin(path)
+        if suffix == ".txt":
+            return Vocabulary.load_dbow2_txt(path)
         return Vocabulary.load(path)
     _log.info("using built-in default vocabulary")
     return default_vocabulary()
@@ -64,9 +71,13 @@ def load_world(args, n_agents: int):
         cfg = DatasetConfig.load(args.dataset)
         settings = Settings.load(cfg.setting)
         seqs = []
+        sensor = getattr(args, "sensor", "mono")
         for a in range(min(n_agents, cfg.n_agents)):
             times = cfg.times[a] if a < len(cfg.times) else None
-            seqs.append(datasets.load_sequence(cfg.type, cfg.images[a], times))
+            seqs.append(datasets.load_sequence(
+                cfg.type, cfg.images[a], times, sensor=sensor,
+                depth_factor=settings.depth_map_factor,
+            ))
     if args.features:
         settings.orb.n_features = args.features
     set_log_level(args.log)

@@ -26,9 +26,13 @@ def main(argv=None):
     vocab = load_vocab(args.voc)
     sys_ = System(settings, vocab)
     seq = seqs[0]
-    if args.sensor != "mono" and getattr(seq, "world", None) is None:
-        p.error("--sensor rgbd/stereo currently needs --synthetic (dataset "
-                "depth/right-image loaders pending)")
+    synthetic = getattr(seq, "world", None) is not None
+    if args.sensor == "rgbd" and not synthetic and seq.depth_paths is None:
+        p.error("rgbd mode needs a TUM dataset with depth.txt")
+    if args.sensor == "stereo" and not synthetic and seq.right_paths is None:
+        p.error("stereo mode needs a KITTI sequence with image_1/")
+    if args.sensor == "stereo" and settings.bf > 0:
+        args.baseline = settings.bf / settings.camera.fx
     from ..utils import datasets as ds
 
     t0 = time.time()
@@ -36,10 +40,16 @@ def main(argv=None):
     for i in range(len(seq)):
         ts = float(seq.timestamps[i])
         if args.sensor == "rgbd":
-            img, depth = ds.render_frame(seq.world, i, return_depth=True)
+            if synthetic:
+                img, depth = ds.render_frame(seq.world, i, return_depth=True)
+            else:
+                img, depth = seq.read(i), seq.read_depth(i)
             pose = sys_.track_rgbd(img, depth, ts)
         elif args.sensor == "stereo":
-            left, right = ds.render_stereo_pair(seq.world, i, args.baseline)
+            if synthetic:
+                left, right = ds.render_stereo_pair(seq.world, i, args.baseline)
+            else:
+                left, right = seq.read(i), seq.read_right(i)
             pose = sys_.track_stereo(left, right, ts, baseline=args.baseline)
         else:
             pose = sys_.track_monocular(seq.read(i), ts)

@@ -124,16 +124,8 @@ class Tracking:
              kp_depth: np.ndarray | None = None,
              features=None) -> np.ndarray | None:
         frame = None
-        fused_eligible = (
-            self.p.use_fused_step
-            and features is None and depth_image is None and kp_depth is None
-            and self.state == TrackingState.OK
-            and self.velocity is not None
-            and self.last_frame is not None
-            and self.last_frame.pose_cw is not None
-            and not np.any(self.settings.camera.dist[:4] != 0)
-        )
-        if fused_eligible:
+        if (features is None and depth_image is None and kp_depth is None
+                and self.fused_eligible()):
             frame = self._track_fused(image, timestamp)
         if frame is None:
             frame = build_frame(image, timestamp, self.settings.camera,
@@ -150,19 +142,15 @@ class Tracking:
                     self._monocular_initialization(frame)
             else:
                 self._track(frame)
-        self.last_frame = frame
-        if frame.pose_cw is not None:
-            Twc = np.linalg.inv(frame.pose_cw)
-            self.trajectory.append((timestamp, Twc))
-            self._update_velocity_stats(Twc[:3, 3])
-            return frame.pose_cw
-        return None
+        return self.finish_frame(frame, timestamp)
 
     # ------------------------------------------------------------ fused path
     def _collect_local_slots(self) -> np.ndarray:
         """Local map for the fused step: last frame's points + everything
         observed by their keyframes (the same neighborhood TrackLocalMap
-        builds, assembled BEFORE the device call)."""
+        builds, assembled BEFORE the device call).  When the union exceeds
+        the fused bucket, points from the MOST covisible keyframes win —
+        not an arbitrary slot-id prefix."""
         st = self.store
         lf = self.last_frame
         seed = [int(m) for m in lf.mp[lf.mp != NO_MP] if st.mp_alive[m]]
@@ -174,21 +162,40 @@ class Tracking:
                 if st.kf_alive[k]:
                     counts[k] = counts.get(k, 0) + 1
         local_kfs = sorted(counts, key=counts.get, reverse=True)[:60]
+        seed_arr = np.unique(np.asarray(seed, np.int64))
         if local_kfs:
             self.ref_kf = local_kfs[0]
+            # rows in covisibility-weight order; dedup keeps the FIRST
+            # occurrence so the strongest keyframes' points survive the
+            # bucket cut
             rows = st.kf_kp_mp[np.asarray(local_kfs)]
-            cand = np.unique(rows[rows != NO_MP])
+            flat = rows[rows != NO_MP]
+            uniq, first = np.unique(flat, return_index=True)
+            cand = uniq[np.argsort(first)]
             cand = cand[st.mp_alive[cand]]
-            slots = np.union1d(np.asarray(seed, np.int64), cand)
+            extra = cand[~np.isin(cand, seed_arr)]
+            slots = np.concatenate([seed_arr, extra])
         else:
-            slots = np.unique(np.asarray(seed, np.int64))
+            slots = seed_arr
         return slots[: self.p.fused_local_bucket].astype(np.int32)
 
-    def _track_fused(self, image: np.ndarray, timestamp: float) -> Frame | None:
-        """One device dispatch for the whole steady-state frame:
-        extraction + local-map matching + LM pose optimization
-        (pipeline.tracking_step).  Returns the tracked Frame, or None to
-        fall back to the staged host path."""
+    def fused_eligible(self, image_ok: bool = True) -> bool:
+        """True when the next frame can run as the single fused device
+        program (steady state, motion model available, undistorted)."""
+        return (
+            self.p.use_fused_step
+            and image_ok
+            and self.state == TrackingState.OK
+            and self.velocity is not None
+            and self.last_frame is not None
+            and self.last_frame.pose_cw is not None
+            and not np.any(self.settings.camera.dist[:4] != 0)
+        )
+
+    def prepare_fused(self, image: np.ndarray):
+        """Host-side assembly of the fused-step inputs (no device calls).
+        Returns (TrackInputs-of-numpy, slots) or None when the local map
+        is too thin — callers then use the staged path."""
         from .. import pipeline
 
         st = self.store
@@ -206,30 +213,24 @@ class Tracking:
         desc[:n] = st.mp_desc[slots]
         maxd[:n] = st.mp_max_dist[slots]
         ok[:n] = True
-
         Tcw_pred = (self.velocity @ self.last_frame.pose_cw).astype(np.float32)
-        orb = self.settings.orb
         inp = pipeline.TrackInputs(
-            image=jnp.asarray(image),
-            Tcw_guess=jnp.asarray(Tcw_pred),
-            K=jnp.asarray(self.settings.camera.K),
-            mp_pos=jnp.asarray(pos),
-            mp_desc=jnp.asarray(desc),
-            mp_max_dist=jnp.asarray(maxd),
-            mp_valid=jnp.asarray(ok),
+            image=image,
+            Tcw_guess=Tcw_pred,
+            K=self.settings.camera.K.astype(np.float32),
+            mp_pos=pos, mp_desc=desc, mp_max_dist=maxd, mp_valid=ok,
         )
-        out = pipeline.tracking_step(
-            inp, n_features=orb.n_features, n_levels=orb.n_levels,
-            scale=orb.scale_factor, hw=tuple(image.shape[:2]),
-            window_th=self.p.fused_window_th,
-        )
-        feats = out.features
-        # ONE batched device->host transfer for everything the host needs
-        (Tcw_np, n_inl, match_local, f_xy, f_oct, f_ang, f_resp, f_desc,
-         f_valid) = fetch(
-            out.Tcw, out.n_inliers, out.match_mp, feats.xy, feats.octave,
-            feats.angle, feats.response, feats.desc, feats.valid,
-        )
+        return inp, slots
+
+    def commit_fused(self, image: np.ndarray, timestamp: float,
+                     slots: np.ndarray, Tcw_np, n_inl, match_local,
+                     f_xy, f_oct, f_ang, f_resp, f_desc, f_valid) -> Frame:
+        """Consume the (already fetched, numpy) outputs of the fused
+        device program: build the Frame, claim matches, do the
+        steady-state bookkeeping — or fall back to the staged path
+        reusing the extraction."""
+        st = self.store
+        orb = self.settings.orb
         n_inl = int(n_inl)
         octave = np.asarray(f_oct)
         frame = Frame(
@@ -245,7 +246,7 @@ class Tracking:
         )
         match_local = np.asarray(match_local)
         has = match_local >= 0
-        frame.mp[has] = slots[np.clip(match_local[has], 0, n - 1)]
+        frame.mp[has] = slots[np.clip(match_local[has], 0, len(slots) - 1)]
         if n_inl < self.p.min_inliers_local:
             # fall back to the staged path with extraction reused
             self._track(frame)
@@ -261,6 +262,43 @@ class Tracking:
         if self._need_new_keyframe(frame):
             self._create_new_keyframe(frame)
         return frame
+
+    def finish_frame(self, frame: Frame, timestamp: float) -> np.ndarray | None:
+        """Post-track bookkeeping shared by grab() and the batched swarm
+        path: last-frame slot, trajectory, STS velocity stats."""
+        self.last_frame = frame
+        if frame.pose_cw is not None:
+            Twc = np.linalg.inv(frame.pose_cw)
+            self.trajectory.append((timestamp, Twc))
+            self._update_velocity_stats(Twc[:3, 3])
+            return frame.pose_cw
+        return None
+
+    def _track_fused(self, image: np.ndarray, timestamp: float) -> Frame | None:
+        """One device dispatch for the whole steady-state frame:
+        extraction + local-map matching + LM pose optimization
+        (pipeline.tracking_step).  Returns the tracked Frame, or None to
+        fall back to the staged host path."""
+        from .. import pipeline
+
+        prep = self.prepare_fused(image)
+        if prep is None:
+            return None
+        inp, slots = prep
+        orb = self.settings.orb
+        out = pipeline.tracking_step(
+            pipeline.TrackInputs(*(jnp.asarray(x) for x in inp)),
+            n_features=orb.n_features, n_levels=orb.n_levels,
+            scale=orb.scale_factor, hw=tuple(image.shape[:2]),
+            window_th=self.p.fused_window_th,
+        )
+        feats = out.features
+        # ONE batched device->host transfer for everything the host needs
+        fetched = fetch(
+            out.Tcw, out.n_inliers, out.match_mp, feats.xy, feats.octave,
+            feats.angle, feats.response, feats.desc, feats.valid,
+        )
+        return self.commit_fused(image, timestamp, slots, *fetched)
 
     # ------------------------------------------------------------ initialization
     def _depth_initialization(self, frame: Frame, min_points: int = 50):

@@ -21,9 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
 def _np_popcount_rows(x: np.ndarray) -> np.ndarray:
-    """[..,8] u32 -> [..] bit count."""
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    """[..,8] u32 -> [..] bit count (byte LUT: 8x less scratch than
+    unpackbits, which matters when clustering 10^5 descriptors)."""
+    return _POPCOUNT_LUT[x.view(np.uint8)].sum(-1, dtype=np.int32)
 
 
 def _np_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -338,17 +342,22 @@ class Vocabulary:
 
 _default_vocab: Vocabulary | None = None
 
+# shipped vocabulary: 10^4 words (k=10, L=4) trained on real ORB
+# descriptors extracted from rendered synthetic worlds
+# (tools/train_vocab.py) — the stand-in for the reference's ORBvoc.bin
+SHIPPED_VOCAB = Path(__file__).resolve().parents[1] / "data" / "vocab-synth-k10L4.npz"
+
 
 def default_vocabulary() -> Vocabulary:
-    """Deterministic built-in vocabulary trained on random descriptors.
-
-    Stands in for ORBvoc.bin when no trained vocabulary is supplied
-    (this environment ships no vocabulary file); random binary vectors
-    give a balanced tree that works for word-gated matching, while real
-    deployments should train on dataset descriptors."""
+    """The vocabulary used when none is supplied on the CLI: the shipped
+    trained one (see SHIPPED_VOCAB) or, if the file is missing, a
+    deterministic random-descriptor fallback."""
     global _default_vocab
     if _default_vocab is None:
-        rng = np.random.RandomState(1234)
-        descs = rng.randint(0, 2**32, size=(4000, 8), dtype=np.uint32)
-        _default_vocab = Vocabulary.train(descs, k=8, L=3, seed=7)
+        if SHIPPED_VOCAB.exists():
+            _default_vocab = Vocabulary.load(SHIPPED_VOCAB)
+        else:
+            rng = np.random.RandomState(1234)
+            descs = rng.randint(0, 2**32, size=(4000, 8), dtype=np.uint32)
+            _default_vocab = Vocabulary.train(descs, k=8, L=3, seed=7)
     return _default_vocab

@@ -96,6 +96,30 @@ def tracking_step(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_features", "n_levels", "scale", "hw", "window_th"),
+)
+def batched_tracking_step(
+    inp: TrackInputs,
+    n_features: int = 1000,
+    n_levels: int = 8,
+    scale: float = 1.2,
+    hw: tuple[int, int] = (480, 752),
+    window_th: float = 15.0,
+) -> TrackOutputs:
+    """tracking_step vmapped over a leading agent axis — the production
+    combined-mode path: N agents' steady-state frames as ONE dispatch
+    (the reference steps one CUDA pipeline per agent thread,
+    swarm_map.cc:310-341; SURVEY.md §2.10 row 1)."""
+    return jax.vmap(
+        lambda x: tracking_step(
+            x, n_features=n_features, n_levels=n_levels, scale=scale,
+            hw=hw, window_th=window_th,
+        )
+    )(inp)
+
+
 def make_multi_agent_step(
     n_features: int = 1000,
     n_levels: int = 8,

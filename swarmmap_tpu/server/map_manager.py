@@ -136,6 +136,8 @@ class MapManager:
         from ..core.local_mapping import _batched_fuse_match
 
         fused = 0
+        pair_p1: list[np.ndarray] = []  # dst duplicate position (dst-local)
+        pair_p2: list[np.ndarray] = []  # src point position (dst-local)
         n_kp = st_d.n_kp
         hw = st_d.kf_hw[dst_kfs[0]]
         for lo in range(0, len(dst_kfs), kf_bucket):
@@ -181,6 +183,8 @@ class MapManager:
                     if mp_old != NO_MP and st_d.mp_alive[mp_old]:
                         if mp_old == m_new:
                             continue
+                        pair_p1.append(st_d.mp_pos[mp_old].copy())
+                        pair_p2.append(pos_d[qi])
                         # dst's duplicate is replaced by the src point
                         # (reference: pRep->Replace(otherMapPoints[i]))
                         st_d.replace_mp(mp_old, m_new)
@@ -190,11 +194,65 @@ class MapManager:
                         st_d.mp_ref_kf[m_new] = k
                     fused += 1
         if fused:
+            self._refine_group_transform(st_d, st_s, pair_p1, pair_p2)
             for k in st_d.alive_kf_slots():
                 st_d.update_connections(int(k), log=False)
             _log.info("fused %d cross-map matches: map %d <- map %d",
                       fused, dst, src)
         return fused
+
+    @staticmethod
+    def _refine_group_transform(st_d: MapStore, st_s: MapStore,
+                                pair_p1: list, pair_p2: list,
+                                min_pairs: int = 20) -> None:
+        """Polish src's Twl from the duplicate pairs found by fuse — the
+        EdgeSim3RelativeXYZ refinement (reference:
+        Optimizer::OptimizeSim3ByMapPoint, Optimizer.cc:1660-1811)."""
+        if len(pair_p1) < min_pairs:
+            return
+        from ..ops import sim3_opt
+
+        p1 = np.stack(pair_p1).astype(np.float32)
+        p2 = np.stack(pair_p2).astype(np.float32)
+        # normalize by the median residual so the fixed chi2 gate means
+        # "within ~3x the typical alignment error" at any scene scale
+        sigma = float(np.median(np.linalg.norm(p1 - p2, axis=1))) or 1.0
+        from ..utils.padding import bucket_size
+
+        b = bucket_size(len(p1), 128)
+        p1p = np.zeros((b, 3), np.float32)
+        p2p = np.zeros((b, 3), np.float32)
+        okp = np.zeros(b, bool)
+        p1p[: len(p1)] = p1 / sigma
+        p2p[: len(p2)] = p2 / sigma
+        okp[: len(p1)] = True
+        opt = sim3_opt.optimize_sim3_points(
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(np.eye(3, dtype=np.float32)),
+            jnp.asarray(np.zeros(3, np.float32)),
+            jnp.asarray(p1p), jnp.asarray(p2p), jnp.asarray(okp),
+            chi2_th=9.0,
+        )
+        n_in, sc, Rc, tc = fetch(opt.n_inliers, opt.s, opt.R, opt.t)
+        if int(n_in) < min_pairs:
+            return
+        sc = float(sc)
+        Rc, tc = np.asarray(Rc), np.asarray(tc) * sigma  # un-normalize
+        if not (0.8 <= sc <= 1.2):
+            return
+        # Twl_s_new = Twl_d o C o Twl_d^-1 o Twl_s  (C lives in dst-local)
+        def compose(a, bb):
+            Ra, ta, sa = a
+            Rb, tb, sb = bb
+            return Ra @ Rb, sa * (Ra @ tb) + ta, sa * sb
+
+        Twl_d = (st_d.Twl_R, st_d.Twl_t, float(st_d.Twl_s))
+        inv_d = (st_d.Twl_R.T, -(st_d.Twl_R.T @ st_d.Twl_t) / float(st_d.Twl_s),
+                 1.0 / float(st_d.Twl_s))
+        D = compose(compose(Twl_d, (Rc, tc, sc)), inv_d)
+        Rn, tn, sn = compose(D, (st_s.Twl_R, st_s.Twl_t, float(st_s.Twl_s)))
+        st_s.set_transform(Rn.astype(np.float32), tn.astype(np.float32), sn)
+        _log.info("refined group transform of map %d: ds=%.4f |dt|=%.4f (%d pairs)",
+                  st_s.map_id, sc, float(np.linalg.norm(tc)), int(n_in))
 
     @staticmethod
     def _ensure_foreign_point(st_d: MapStore, st_s: MapStore, src_slot: int,

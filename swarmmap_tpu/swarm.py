@@ -106,6 +106,7 @@ class Swarm:
             self.mediators.append(med)
         self._pending_distribute: dict[int, list[bytes]] = {i: [] for i in range(n_agents)}
         self.frame_count = 0
+        self.fused_cohort_dispatches = 0  # frames where ALL steady agents ran as ONE dispatch
 
     # -- transport (loopback function calls) --------------------------------
     def _distribute(self, agent_id: int, payload: bytes):
@@ -115,21 +116,32 @@ class Swarm:
     def step(self, images: list[np.ndarray | None], ts: float):
         """Advance every agent by one frame and run the sync cadence.
 
-        All agents' front-ends run as ONE batched device program
-        (SURVEY.md §2.10: the reference's N per-agent CUDA extractions
-        become a single vmapped call)."""
+        Steady-state agents run their ENTIRE frame (extraction + local-map
+        matching + pose optimization) as ONE batched device dispatch with
+        one fetch; initializing/lost agents batch their extractions
+        (SURVEY.md §2.10: the reference's N per-agent CUDA pipelines,
+        swarm_map.cc:310-341, become a single vmapped program)."""
         live = [(a, img) for a, img in zip(self.agents, images) if img is not None]
-        feats_per_agent: list = [None] * len(live)
-        # agents on the steady-state fused path extract INSIDE their fused
-        # program; batch-extract only for the rest (initializing / lost)
-        from .core.tracking import TrackingState
+        handled = [False] * len(live)
 
-        needs_ext = [
-            i for i, (a, _) in enumerate(live)
-            if not (a.system.tracking.p.use_fused_step
-                    and a.system.tracking.state == TrackingState.OK
-                    and a.system.tracking.velocity is not None)
-        ]
+        # 1. the fused cohort: agents in steady state with a motion model
+        fused: list[tuple[int, object, np.ndarray]] = []  # (live idx, inputs, slots)
+        for i, (a, img) in enumerate(live):
+            tr = a.system.tracking
+            if tr.fused_eligible() and img.shape == live[0][1].shape:
+                prep = tr.prepare_fused(img)
+                if prep is not None:
+                    fused.append((i, prep[0], prep[1]))
+        if len(fused) > 1:
+            self._step_fused_cohort(live, fused, ts)
+            for i, _, _ in fused:
+                handled[i] = True
+        # (a single fused agent goes through agent.track -> _track_fused,
+        # same program un-vmapped)
+
+        # 2. batch-extract for the remaining (initializing / lost) agents
+        feats_per_agent: list = [None] * len(live)
+        needs_ext = [i for i in range(len(live)) if not handled[i]]
         if len(needs_ext) > 1 and all(
             live[i][1].shape == live[needs_ext[0]][1].shape for i in needs_ext
         ):
@@ -148,8 +160,9 @@ class Swarm:
                 feats_per_agent[i] = ex.FrameFeatures(
                     *(leaf[j] for leaf in batch)
                 )
-        for (agent, img), feats in zip(live, feats_per_agent):
-            agent.track(img, ts, features=feats)
+        for i, (agent, img) in enumerate(live):
+            if not handled[i]:
+                agent.track(img, ts, features=feats_per_agent[i])
         self.frame_count += 1
         if self.frame_count % self.config.report_every == 0:
             for agent in self.agents:
@@ -158,6 +171,41 @@ class Swarm:
                 )
         if self.frame_count % self.config.push_every == 0:
             self.sync()
+
+    def _step_fused_cohort(self, live, fused, ts: float):
+        """Run all steady-state agents' frames as ONE device dispatch +
+        ONE batched fetch, then commit each agent's result on host."""
+        import jax.numpy as jnp
+
+        from . import pipeline
+
+        orb = self.settings.orb
+        hw = tuple(live[fused[0][0]][1].shape[:2])
+        inputs = pipeline.TrackInputs(
+            *(jnp.asarray(np.stack([getattr(inp, f) for _, inp, _ in fused]))
+              for f in pipeline.TrackInputs._fields)
+        )
+        out = pipeline.batched_tracking_step(
+            inputs, n_features=orb.n_features, n_levels=orb.n_levels,
+            scale=orb.scale_factor, hw=hw,
+            window_th=self.agents[0].system.tracking.p.fused_window_th,
+        )
+        feats = out.features
+        from .utils.device import fetch
+
+        fetched = fetch(
+            out.Tcw, out.n_inliers, out.match_mp, feats.xy, feats.octave,
+            feats.angle, feats.response, feats.desc, feats.valid,
+        )
+        fetched = [np.asarray(x) for x in fetched]
+        self.fused_cohort_dispatches += 1
+        for j, (i, _inp, slots) in enumerate(fused):
+            agent, img = live[i]
+            tr = agent.system.tracking
+            frame = tr.commit_fused(img, ts, slots, *(x[j] for x in fetched))
+            pose = tr.finish_frame(frame, ts)
+            if pose is not None:
+                agent.frames_tracked += 1
 
     def sync(self):
         """Push all agents' deltas, run the scheduler, deliver replies."""

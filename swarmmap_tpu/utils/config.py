@@ -83,6 +83,8 @@ class Settings:
     camera: CameraConfig
     orb: OrbConfig
     viewer: dict[str, float] = dataclasses.field(default_factory=dict)
+    depth_map_factor: float = 5000.0   # TUM RGB-D depth png scaling
+    bf: float = 0.0                    # stereo baseline * fx (KITTI)
 
     @classmethod
     def load(cls, path: str | Path) -> "Settings":
@@ -105,7 +107,9 @@ class Settings:
         )
         viewer = {k.split(".", 1)[1]: float(v) for k, v in d.items()
                   if k.startswith("Viewer.")}
-        return cls(camera=cam, orb=orb, viewer=viewer)
+        return cls(camera=cam, orb=orb, viewer=viewer,
+                   depth_map_factor=float(d.get("DepthMapFactor", 5000.0)),
+                   bf=float(d.get("Camera.bf", 0.0)))
 
     @classmethod
     def default(cls) -> "Settings":
@@ -130,11 +134,22 @@ class DatasetConfig:
 
     @classmethod
     def load(cls, path: str | Path, root: str | Path | None = None) -> "DatasetConfig":
+        """Resolve dataset paths against, in order: the literal path, the
+        SWARMMAP_DATA env var (where datasets are mounted/downloaded),
+        and the repo root (for SETTING files shipped under config/)."""
+        import os
+
         d = load_opencv_yaml(path)
         root = Path(root) if root is not None else Path(path).parent.parent
+        data_root = os.environ.get("SWARMMAP_DATA", "")
+
         def _abs(p: str) -> str:
             p = str(p)
-            return p if Path(p).exists() else str(root / p.lstrip("/"))
+            if Path(p).exists():
+                return p
+            if data_root and (Path(data_root) / p.lstrip("/")).exists():
+                return str(Path(data_root) / p.lstrip("/"))
+            return str(root / p.lstrip("/"))
         images = d.get("IMAGES", [])
         if isinstance(images, str):
             images = [images]

@@ -18,11 +18,23 @@ from pathlib import Path
 import numpy as np
 
 
+def _imread_gray(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img
+
+
 @dataclasses.dataclass
 class ImageSequence:
     paths: list[str]           # empty for synthetic (frames held in memory)
     timestamps: np.ndarray     # [N] float64 seconds
     frames: np.ndarray | None = None  # [N,H,W] uint8 for synthetic
+    depth_paths: list[str] | None = None   # RGB-D (TUM depth pngs)
+    right_paths: list[str] | None = None   # stereo (KITTI image_1)
+    depth_factor: float = 5000.0            # TUM: 16-bit png / 5000 = m
 
     def __len__(self) -> int:
         return len(self.timestamps)
@@ -31,51 +43,95 @@ class ImageSequence:
         """Return grayscale uint8 [H,W]."""
         if self.frames is not None:
             return self.frames[i]
+        return _imread_gray(self.paths[i])
+
+    def read_depth(self, i: int) -> np.ndarray:
+        """Metric depth [H,W] float32 (0 = invalid)."""
         import cv2
 
-        img = cv2.imread(self.paths[i], cv2.IMREAD_GRAYSCALE)
-        if img is None:
-            raise FileNotFoundError(self.paths[i])
-        return img
+        d = cv2.imread(self.depth_paths[i], cv2.IMREAD_UNCHANGED)
+        if d is None:
+            raise FileNotFoundError(self.depth_paths[i])
+        return d.astype(np.float32) / self.depth_factor
+
+    def read_right(self, i: int) -> np.ndarray:
+        return _imread_gray(self.right_paths[i])
 
 
-def load_euroc(image_dir: str, times_file: str) -> ImageSequence:
-    lines = [ln.strip() for ln in Path(times_file).read_text().splitlines() if ln.strip()]
-    stamps, paths = [], []
-    for ln in lines:
-        stamps.append(float(ln) / 1e9)
-        paths.append(str(Path(image_dir) / f"{ln}.png"))
+def load_euroc(image_dir: str, times_file: str | None = None) -> ImageSequence:
+    """EuRoC cam dir of <ns>.png.  With no TIMES file, timestamps come
+    from the filenames themselves (they are nanosecond stamps)."""
+    if times_file and Path(times_file).exists():
+        lines = [ln.strip() for ln in Path(times_file).read_text().splitlines()
+                 if ln.strip()]
+        stamps = [float(ln) / 1e9 for ln in lines]
+        paths = [str(Path(image_dir) / f"{ln}.png") for ln in lines]
+    else:
+        files = sorted(Path(image_dir).glob("*.png"))
+        stamps = [float(f.stem) / 1e9 for f in files]
+        paths = [str(f) for f in files]
     return ImageSequence(paths=paths, timestamps=np.asarray(stamps))
 
 
-def load_tum(dataset_dir: str) -> ImageSequence:
-    rgb_txt = Path(dataset_dir) / "rgb.txt"
-    stamps, paths = [], []
-    for ln in rgb_txt.read_text().splitlines():
+def _read_tum_list(path: Path) -> list[tuple[float, str]]:
+    out = []
+    for ln in path.read_text().splitlines():
         ln = ln.strip()
         if not ln or ln.startswith("#"):
             continue
         ts, rel = ln.split()[:2]
-        stamps.append(float(ts))
-        paths.append(str(Path(dataset_dir) / rel))
-    return ImageSequence(paths=paths, timestamps=np.asarray(stamps))
+        out.append((float(ts), rel))
+    return out
 
 
-def load_kitti(sequence_dir: str) -> ImageSequence:
+def load_tum(dataset_dir: str, with_depth: bool = False,
+             depth_factor: float = 5000.0,
+             max_dt: float = 0.02) -> ImageSequence:
+    """TUM RGB-D dir with rgb.txt (+ depth.txt for the rgbd mode; frames
+    are associated by nearest timestamp within max_dt, the standard
+    associate.py rule)."""
+    base = Path(dataset_dir)
+    rgb = _read_tum_list(base / "rgb.txt")
+    if not with_depth:
+        return ImageSequence(
+            paths=[str(base / rel) for _, rel in rgb],
+            timestamps=np.asarray([ts for ts, _ in rgb]),
+        )
+    depth = _read_tum_list(base / "depth.txt")
+    d_ts = np.asarray([ts for ts, _ in depth])
+    stamps, paths, dpaths = [], [], []
+    for ts, rel in rgb:
+        j = int(np.argmin(np.abs(d_ts - ts)))
+        if abs(d_ts[j] - ts) <= max_dt:
+            stamps.append(ts)
+            paths.append(str(base / rel))
+            dpaths.append(str(base / depth[j][1]))
+    return ImageSequence(paths=paths, timestamps=np.asarray(stamps),
+                         depth_paths=dpaths, depth_factor=depth_factor)
+
+
+def load_kitti(sequence_dir: str, with_right: bool = False) -> ImageSequence:
     seq = Path(sequence_dir)
     stamps = [float(x) for x in (seq / "times.txt").read_text().split()]
     paths = [str(seq / "image_0" / f"{i:06d}.png") for i in range(len(stamps))]
-    return ImageSequence(paths=paths, timestamps=np.asarray(stamps))
+    right = (
+        [str(seq / "image_1" / f"{i:06d}.png") for i in range(len(stamps))]
+        if with_right else None
+    )
+    return ImageSequence(paths=paths, timestamps=np.asarray(stamps),
+                         right_paths=right)
 
 
-def load_sequence(dtype: str, image_dir: str, times_file: str | None = None) -> ImageSequence:
+def load_sequence(dtype: str, image_dir: str, times_file: str | None = None,
+                  sensor: str = "mono",
+                  depth_factor: float = 5000.0) -> ImageSequence:
     if dtype == "euroc":
-        assert times_file, "euroc needs a TIMES file"
         return load_euroc(image_dir, times_file)
     if dtype == "tum":
-        return load_tum(image_dir)
+        return load_tum(image_dir, with_depth=(sensor == "rgbd"),
+                        depth_factor=depth_factor)
     if dtype == "kitti":
-        return load_kitti(image_dir)
+        return load_kitti(image_dir, with_right=(sensor == "stereo"))
     if dtype == "synthetic":
         return synthesize_sequence()
     raise ValueError(f"unknown dataset type {dtype!r}")

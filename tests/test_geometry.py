@@ -135,6 +135,41 @@ def test_ransac_pnp(rng):
     assert inl[out].mean() < 0.1
 
 
+def test_epnp_beats_dlt_under_noise(rng):
+    """Reloc-style benchmark (reference: PnPsolver.cc EPnP): over noisy,
+    outlier-ridden trials the EPnP minimal solver must succeed at least
+    as often as the round-1 DLT-6 stand-in, with comparable accuracy."""
+    import jax
+
+    wins = {"epnp": 0, "dlt": 0}
+    errs = {"epnp": [], "dlt": []}
+    n = 60
+    for trial in range(8):
+        pts, K = make_scene(rng, n)
+        R = small_rotation(rng, 0.5)
+        t = np.array([0.4, -0.3, 0.6]) + rng.normal(0, 0.1, 3)
+        uv, _ = project(K, R, t, pts)
+        uv += rng.normal(0, 1.0, uv.shape)          # heavy pixel noise
+        out = rng.rand(n) < 0.4                      # 40% outliers
+        uv[out] += rng.uniform(25, 90, (out.sum(), 2))
+        for solver in ("epnp", "dlt"):
+            res = pnp.ransac_pnp(
+                jnp.asarray(pts, jnp.float32), jnp.asarray(uv, jnp.float32),
+                jnp.asarray(np.ones(n, bool)), jnp.asarray(K, jnp.float32),
+                jax.random.PRNGKey(100 + trial), min_inliers=15,
+                solver=solver,
+            )
+            if bool(res.success):
+                T = np.asarray(res.Tcw)
+                dR = T[:3, :3] @ R.T
+                ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+                if ang < 3.0 and np.linalg.norm(T[:3, 3] - t) < 0.2:
+                    wins[solver] += 1
+                    errs[solver].append(ang)
+    assert wins["epnp"] >= wins["dlt"], (wins, errs)
+    assert wins["epnp"] >= 6, (wins, errs)
+
+
 def test_umeyama_recovers_sim3(rng):
     src = rng.randn(40, 3)
     R = small_rotation(rng, 0.7)

@@ -57,6 +57,44 @@ def _rel(Ri, ti, si, Rj, tj, sj):
     return lie.sim3_mul(jnp.asarray(Rj), jnp.asarray(tj), jnp.asarray(sj), Rinv, tinv, sinv)
 
 
+def test_optimize_sim3_points_edge_semantics(rng):
+    """EdgeSim3RelativeXYZ analogue (reference:
+    include/g2o/EdgeSim3RelativeXYZ.h): residual = p1 - Twl.map(p2); the
+    optimizer must recover a ground-truth Sim3 from noisy matched 3D
+    pairs with outliers, pruning them at chi2 > th2 like
+    Optimizer::OptimizeSim3ByKeyFrame (Optimizer.cc:1591-1625)."""
+    n = 120
+    p2 = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    w = rng.normal(0, 0.2, 3)
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray(w, jnp.float32)))
+    s_gt, t_gt = 1.35, np.array([0.4, -1.2, 2.0], np.float32)
+    p1 = (s_gt * p2 @ R_gt.T + t_gt).astype(np.float32)
+    p1 += rng.normal(0, 0.01, p1.shape).astype(np.float32)
+    out = rng.rand(n) < 0.2
+    p1[out] += rng.uniform(1.0, 3.0, (out.sum(), 3)).astype(np.float32)
+
+    # residual semantics at the ground truth: near zero for inliers
+    res = p1 - (s_gt * p2 @ R_gt.T + t_gt)
+    assert np.abs(res[~out]).max() < 0.05
+    assert np.abs(res[out]).max() > 0.5
+
+    # perturbed init
+    R0 = np.asarray(lie.so3_exp(jnp.asarray(w + rng.normal(0, 0.05, 3), jnp.float32)))
+    opt = sim3_opt.optimize_sim3_points(
+        jnp.asarray(1.2, jnp.float32), jnp.asarray(R0, jnp.float32),
+        jnp.asarray(t_gt + rng.normal(0, 0.2, 3), jnp.float32),
+        jnp.asarray(p1), jnp.asarray(p2), jnp.ones(n, bool),
+        chi2_th=0.05,
+    )
+    assert abs(float(opt.s) - s_gt) < 0.01
+    dR = np.asarray(opt.R) @ R_gt.T
+    ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang < 0.5, ang
+    np.testing.assert_allclose(np.asarray(opt.t), t_gt, atol=0.03)
+    inl = np.asarray(opt.inliers)
+    assert inl[~out].mean() > 0.95 and inl[out].mean() < 0.05
+
+
 def test_pose_graph_closes_loop(rng):
     """Drifted chain + one loop-closure edge -> graph snaps back."""
     n = 12

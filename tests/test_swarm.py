@@ -44,6 +44,17 @@ def test_clients_track(swarm_run):
         assert agent.system.n_keyframes() >= 3
 
 
+def test_agents_batched_into_one_dispatch(swarm_run):
+    """Steady-state frames must run ALL agents as one fused device
+    dispatch (SURVEY.md §2.10 row 1 — the TPU answer to the reference's
+    per-agent CUDA threads, swarm_map.cc:310-341)."""
+    swarm, seqs = swarm_run
+    # after both agents initialize, the bulk of frames should batch
+    assert swarm.fused_cohort_dispatches > 0.3 * len(seqs[0]), (
+        swarm.fused_cohort_dispatches
+    )
+
+
 def test_server_replicas_mirror_clients(swarm_run):
     swarm, _ = swarm_run
     for agent, med in zip(swarm.agents, swarm.mediators):
