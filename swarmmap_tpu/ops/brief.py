@@ -4,24 +4,45 @@ Reference spec: calcOrb_kernel (/root/reference/code/src/cuda/Orb_gpu.cu:67)
 — 256 point-pair intensity comparisons on the blurred pyramid level, with
 the sampling pattern rotated by the keypoint's IC angle; packed to 32 bytes.
 
-TPU formulation: one [N, 512] gather + compare + bit-pack.  The sampling
-pattern is generated deterministically here (isotropic Gaussian pairs,
-sigma = patch/5, clipped to +-13 as in the classic BRIEF construction) —
-descriptors are self-consistent within this framework rather than
-bit-compatible with OpenCV's learned pattern, which only matters for
-interop with maps produced by the reference binary (tracked as a parity
-item in PARITY.md).
+Two TPU formulations:
+
+* ``compute_descriptors`` — the direct one: one [N, 512] elementwise
+  gather + compare + bit-pack.  Exact per-keypoint rotation.  The gather
+  runs on the TPU's scalar pipeline and dominates the front-end at
+  production keypoint counts.
+* ``compute_descriptors_binned`` (default in the extractor) — the MXU
+  one: each comparison ``I(b) > I(a)`` is the sign of a dot product
+  ``patch · (e_b − e_a)``, so a whole descriptor is the sign vector of
+  ``patch @ W``, with W a {−1,0,+1} matrix.  Steering is quantized to
+  ``N_BINS`` angle bins (the original ORB paper itself steers in 12°
+  increments, 2π/30) and all bins' weight matrices are baked into one
+  [K, N_BINS·256] constant, so descriptor extraction for a level is ONE
+  [N,K]×[K,8192] bf16 matmul plus a one-hot bin selection — no gathers
+  except the N contiguous (P,P) patch slices.
+
+The sampling pattern is generated deterministically here (isotropic
+Gaussian pairs, sigma = patch/5, clipped to +-13 as in the classic BRIEF
+construction) — descriptors are self-consistent within this framework
+rather than bit-compatible with OpenCV's learned pattern, which only
+matters for interop with maps produced by the reference binary (tracked
+as a parity item in PARITY.md).
 """
 from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 N_BITS = 256
 PATTERN_CLIP = 13  # keeps rotated samples within a 19px border
 PATTERN_SEED = 0x5EED
+
+N_BINS = 32            # 11.25° steering quantization (original ORB: 12°)
+PATCH_R = 18           # max |round(rotated offset)| over all bins (asserted)
+PATCH = 2 * PATCH_R + 1
+PATCH_K = PATCH * PATCH
 
 
 @functools.lru_cache(maxsize=None)
@@ -64,6 +85,88 @@ def compute_descriptors(
         bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=2, dtype=jnp.uint32
     )
     return jnp.where(valid[:, None], packed, jnp.uint32(0))
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """[N,256] {0,1} -> [N,8] uint32."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(
+        bits.astype(jnp.uint32).reshape(-1, 8, 32) << shifts[None, None, :],
+        axis=2, dtype=jnp.uint32,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _binned_weights() -> np.ndarray:
+    """[PATCH_K, N_BINS*256] int8 comparison weights.
+
+    Column (b*256 + s) holds +1 at the flattened patch offset of sample
+    2s+1 rotated by bin angle b, and −1 at sample 2s; a rounding collision
+    (both samples land on the same pixel) cancels to 0, so the bit decides
+    as ``v > 0`` = False — identical to the direct compare ``v_a < v_b``.
+    """
+    pat = brief_pattern().astype(np.float64)
+    W = np.zeros((N_BINS, PATCH_K, N_BITS), np.int8)
+    for b in range(N_BINS):
+        th = 2.0 * np.pi * b / N_BINS
+        ca, sa = np.cos(th), np.sin(th)
+        rx = np.round(pat[:, 0] * ca - pat[:, 1] * sa).astype(np.int64)
+        ry = np.round(pat[:, 0] * sa + pat[:, 1] * ca).astype(np.int64)
+        assert np.abs(rx).max() <= PATCH_R and np.abs(ry).max() <= PATCH_R
+        idx = (ry + PATCH_R) * PATCH + (rx + PATCH_R)
+        for s in range(N_BITS):
+            W[b, idx[2 * s + 1], s] += 1
+            W[b, idx[2 * s], s] -= 1
+    return np.ascontiguousarray(W.transpose(1, 0, 2).reshape(PATCH_K, N_BINS * N_BITS))
+
+
+def angle_bins(angles_deg: jnp.ndarray) -> jnp.ndarray:
+    """Quantize IC angles to the N_BINS steering bins."""
+    b = jnp.round(angles_deg * (N_BINS / 360.0)).astype(jnp.int32)
+    return jnp.mod(b, N_BINS)
+
+
+def extract_patches(img_blur: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """[H,W] image + [N,2] keypoints -> [N, PATCH, PATCH] patches.
+
+    The image is edge-padded so the full patch is always in bounds for
+    keypoints inside the FAST detection border (16 px); edge replication
+    matches the direct path's coordinate clamping.
+    """
+    h, w = img_blur.shape
+    pad = PATCH_R
+    imgp = jnp.pad(img_blur, pad, mode="edge")
+    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    # padded-image start of the patch: (c + pad) - PATCH_R = c
+    starts = jnp.stack([cy, cx], -1)
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(imgp, (s[0], s[1]), (PATCH, PATCH))
+    )(starts)
+
+
+def compute_descriptors_binned(
+    img_blur: jnp.ndarray,
+    xy: jnp.ndarray,
+    angles_deg: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """MXU-path descriptors: [H,W] blurred level -> [N,8] uint32.
+
+    The blurred image is rounded to integral intensities first (the
+    reference blurs into 8-bit images), which makes every value exact in
+    bfloat16 (integers ≤ 256), so the sign of the bf16 matmul equals the
+    exact comparison.
+    """
+    img_u = jnp.round(jnp.clip(img_blur, 0.0, 255.0))
+    patches = extract_patches(img_u, xy)
+    Pm = patches.reshape(-1, PATCH_K).astype(jnp.bfloat16)
+    W = jnp.asarray(_binned_weights(), jnp.bfloat16)
+    vals = jnp.dot(Pm, W, preferred_element_type=jnp.float32)
+    vals = vals.reshape(-1, N_BINS, N_BITS)
+    onehot = jax.nn.one_hot(angle_bins(angles_deg), N_BINS, dtype=jnp.float32)
+    v = jnp.einsum("nbs,nb->ns", vals, onehot)
+    return jnp.where(valid[:, None], _pack_bits(v > 0), jnp.uint32(0))
 
 
 def unpack_bits(desc_u32: jnp.ndarray) -> jnp.ndarray:

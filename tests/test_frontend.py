@@ -143,6 +143,53 @@ def test_brief_rotation_invariance(rng):
     assert d_diff > 80, d_diff
 
 
+def test_brief_binned_matches_exact_at_bin_centers(rng):
+    """At angles that ARE bin centers, the binned MXU path and the exact
+    gather path sample identical pixels, so descriptors must be
+    bit-identical on integral images (away from borders)."""
+    img = np.round(rng.rand(96, 128).astype(np.float32) * 255.0)
+    n = 32
+    xy = np.stack(
+        [rng.uniform(20, 108, n), rng.uniform(20, 76, n)], -1
+    ).astype(np.float32)
+    bins = rng.randint(0, brief.N_BINS, n)
+    ang = bins.astype(np.float32) * (360.0 / brief.N_BINS)
+    ok = jnp.ones(n, bool)
+    d_exact = np.asarray(
+        brief.compute_descriptors(jnp.asarray(img), jnp.asarray(xy),
+                                  jnp.asarray(ang), ok))
+    d_binned = np.asarray(
+        brief.compute_descriptors_binned(jnp.asarray(img), jnp.asarray(xy),
+                                         jnp.asarray(ang), ok))
+    np.testing.assert_array_equal(d_exact, d_binned)
+
+
+def test_brief_binned_rotation_invariance(rng):
+    """Binned steering preserves the rotation-invariance property the
+    exact path has (quantization noise ≤ half a bin = 5.6°)."""
+    img = np.zeros((64, 64), np.float32)
+    img[16:48, 16:48] = _structured_patch(rng, 32)
+    img_s = np.asarray(pyramid.gaussian_blur(jnp.asarray(img)))
+    rot = np.rot90(img, k=-1).copy()
+    rot_s = np.asarray(pyramid.gaussian_blur(jnp.asarray(rot)))
+    xy = jnp.asarray([[32.0, 32.0]])
+    ok = jnp.ones(1, bool)
+    a = orientation.ic_angles(jnp.asarray(img), xy, ok)
+    a_r = orientation.ic_angles(jnp.asarray(rot), xy, ok)
+    d0 = np.asarray(brief.compute_descriptors_binned(jnp.asarray(img_s), xy, a, ok))
+    d1 = np.asarray(brief.compute_descriptors_binned(jnp.asarray(rot_s), xy, a_r, ok))
+    other = np.asarray(
+        brief.compute_descriptors_binned(
+            jnp.asarray(rot_s), jnp.asarray([[48.0, 16.0]]), a, ok))
+
+    def hamming(p, q):
+        return sum(bin(int(a ^ b)).count("1")
+                   for a, b in zip(p.ravel().tolist(), q.ravel().tolist()))
+
+    assert hamming(d0, d1) < 80, hamming(d0, d1)
+    assert hamming(d0, other) > 80, hamming(d0, other)
+
+
 def test_unpack_bits_roundtrip(rng):
     desc = rng.randint(0, 2**32, (5, 8), dtype=np.uint32)
     bits = np.asarray(brief.unpack_bits(jnp.asarray(desc)))
