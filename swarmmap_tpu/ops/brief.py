@@ -145,6 +145,26 @@ def extract_patches(img_blur: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     )(starts)
 
 
+def descriptors_from_patches(
+    patches: jnp.ndarray,
+    angles_deg: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """[N, PATCH, PATCH] integral-intensity patches -> [N,8] uint32.
+
+    The matmul half of the binned path, split out so the extractor can
+    batch ALL pyramid levels' patches into ONE [N_total,K]×[K,32·256]
+    MXU dispatch instead of 8 small under-utilizing ones.
+    """
+    Pm = patches.reshape(-1, PATCH_K).astype(jnp.bfloat16)
+    W = jnp.asarray(_binned_weights(), jnp.bfloat16)
+    vals = jnp.dot(Pm, W, preferred_element_type=jnp.float32)
+    vals = vals.reshape(-1, N_BINS, N_BITS)
+    onehot = jax.nn.one_hot(angle_bins(angles_deg), N_BINS, dtype=jnp.float32)
+    v = jnp.einsum("nbs,nb->ns", vals, onehot)
+    return jnp.where(valid[:, None], _pack_bits(v > 0), jnp.uint32(0))
+
+
 def compute_descriptors_binned(
     img_blur: jnp.ndarray,
     xy: jnp.ndarray,
@@ -160,13 +180,7 @@ def compute_descriptors_binned(
     """
     img_u = jnp.round(jnp.clip(img_blur, 0.0, 255.0))
     patches = extract_patches(img_u, xy)
-    Pm = patches.reshape(-1, PATCH_K).astype(jnp.bfloat16)
-    W = jnp.asarray(_binned_weights(), jnp.bfloat16)
-    vals = jnp.dot(Pm, W, preferred_element_type=jnp.float32)
-    vals = vals.reshape(-1, N_BINS, N_BITS)
-    onehot = jax.nn.one_hot(angle_bins(angles_deg), N_BINS, dtype=jnp.float32)
-    v = jnp.einsum("nbs,nb->ns", vals, onehot)
-    return jnp.where(valid[:, None], _pack_bits(v > 0), jnp.uint32(0))
+    return descriptors_from_patches(patches, angles_deg, valid)
 
 
 def unpack_bits(desc_u32: jnp.ndarray) -> jnp.ndarray:

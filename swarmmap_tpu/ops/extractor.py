@@ -71,16 +71,12 @@ def extract_orb(
     matmul sign (~2x faster front-end on TPU); "exact" rotates the
     pattern per keypoint and gathers (bit-stable with older maps).
     """
-    desc_fn = (
-        brief.compute_descriptors_binned
-        if desc_mode == "binned"
-        else brief.compute_descriptors
-    )
     levels = pyramid.build_pyramid(img, n_levels, scale)
     budgets = level_budgets(n_features, n_levels, scale)
     n_total = _round_up(sum(budgets), 128)
 
-    xs, resps, octs, angs, descs, vals = [], [], [], [], [], []
+    binned = desc_mode == "binned"
+    xs, resps, octs, angs, descs, vals, patches = [], [], [], [], [], [], []
     for l, (lvl_img, budget) in enumerate(zip(levels, budgets)):
         if budget == 0 or min(lvl_img.shape) <= 2 * 16 + 8:
             continue
@@ -88,21 +84,31 @@ def extract_orb(
         m10, m01 = orientation.moment_maps(lvl_img)
         ang = orientation.ic_angles_conv(m10, m01, kps.xy, kps.valid)
         blurred = pyramid.gaussian_blur(lvl_img)
-        desc = desc_fn(blurred, kps.xy, ang, kps.valid)
+        if binned:
+            # defer the descriptor matmul: collect every level's patches
+            # and run ONE [N_total,K]x[K,32*256] MXU dispatch below
+            patches.append(brief.extract_patches(
+                jnp.round(jnp.clip(blurred, 0.0, 255.0)), kps.xy))
+        else:
+            descs.append(brief.compute_descriptors(
+                blurred, kps.xy, ang, kps.valid))
         s = jnp.float32(scale**l)
         xs.append(kps.xy * s)
         resps.append(kps.score)
         octs.append(jnp.full((budget,), l, jnp.int32))
         angs.append(ang)
-        descs.append(desc)
         vals.append(kps.valid)
 
     xy = jnp.concatenate(xs, 0)
     response = jnp.concatenate(resps, 0)
     octave = jnp.concatenate(octs, 0)
     angle = jnp.concatenate(angs, 0)
-    desc = jnp.concatenate(descs, 0)
     valid = jnp.concatenate(vals, 0)
+    if binned:
+        desc = brief.descriptors_from_patches(
+            jnp.concatenate(patches, 0), angle, valid)
+    else:
+        desc = jnp.concatenate(descs, 0)
     pad = n_total - xy.shape[0]
     if pad > 0:
         xy = jnp.pad(xy, ((0, pad), (0, 0)))

@@ -48,16 +48,46 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_weights(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] 2-tap bilinear resize weights (half-pixel centers,
+    edge clamp) — the same sampling as cv::resize INTER_LINEAR, which is
+    what the reference's ComputePyramid uses (ORBextractor.cc:821)."""
+    s = n_in / n_out
+    W = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        x = (i + 0.5) * s - 0.5
+        x0 = int(np.floor(x))
+        f = x - x0
+        lo = min(max(x0, 0), n_in - 1)
+        hi = min(max(x0 + 1, 0), n_in - 1)
+        W[i, lo] += 1.0 - f
+        W[i, hi] += f
+    return W
+
+
+def resize_bilinear(img: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
+    """Separable bilinear resize as two small matmuls (MXU) — far faster
+    on TPU than the gather-based jax.image.resize lowering."""
+    h2, w2 = shape
+    h1, w1 = img.shape
+    Wr = jnp.asarray(_resize_weights(h1, h2))
+    Wc = jnp.asarray(_resize_weights(w1, w2))
+    # full f32: the default TPU matmul precision is bf16, which would add
+    # ±1-intensity noise per chained level
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(Wr, img, precision=hp), Wc.T, precision=hp)
+
+
 def build_pyramid(
     img: jnp.ndarray, n_levels: int, scale: float
 ) -> list[jnp.ndarray]:
-    """[H,W] u8/f32 -> list of [h_l,w_l] f32 levels (bilinear)."""
+    """[H,W] u8/f32 -> list of [h_l,w_l] f32 levels (chained 2-tap
+    bilinear, reference ComputePyramid semantics)."""
     img = img.astype(jnp.float32)
     h, w = img.shape
     shapes = level_shapes(h, w, n_levels, scale)
     levels = [img]
     for l in range(1, n_levels):
-        levels.append(
-            jax.image.resize(levels[-1], shapes[l], method="linear")
-        )
+        levels.append(resize_bilinear(levels[-1], shapes[l]))
     return levels
