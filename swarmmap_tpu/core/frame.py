@@ -59,6 +59,27 @@ class Frame:
             self.nodes = np.where(self.valid, nd.astype(np.int32), -1)
 
 
+def _octree_refine(
+    xy: np.ndarray, resp: np.ndarray, octave: np.ndarray,
+    valid: np.ndarray, budgets: list[int],
+) -> np.ndarray:
+    """Per-level exact quadtree keep-mask over detected keypoints."""
+    from .. import native
+
+    keep = np.ones(len(xy), bool)
+    for lvl, budget in enumerate(budgets):
+        sel = np.where(valid & (octave == lvl))[0]
+        if len(sel) <= budget or len(sel) == 0:
+            continue
+        xs, ys = xy[sel, 0], xy[sel, 1]
+        k = native.distribute_octree(
+            xs, ys, resp[sel],
+            (xs.min(), ys.min(), xs.max() + 1e-3, ys.max() + 1e-3), budget,
+        )
+        keep[sel[~k]] = False
+    return keep
+
+
 def build_frame(
     image: np.ndarray,
     timestamp: float,
@@ -98,6 +119,17 @@ def build_frame(
             feats.desc, feats.valid,
         )
         xy = xy_raw
+    if features is None and getattr(orb, "exact_octree", True):
+        # exact quadtree redistribution on the host (reference:
+        # ORBextractor::DistributeOctTree, ORBextractor.cc:465) — the
+        # device program spreads keypoints with a per-cell-max bonus; on
+        # the staged path (initialization, relocalization) we refine that
+        # to the reference's exact per-level budgeting via the native
+        # C++ quadtree (native/src/octree.cc).
+        valid_ = valid_ & _octree_refine(
+            xy_raw, resp_, octave, valid_,
+            ex.level_budgets(nf, orb.n_levels, orb.scale_factor),
+        )
     sig2 = ex.scale_sigma2(orb.n_levels, orb.scale_factor)[octave]
     kp_depth = None
     if depth_image is not None:

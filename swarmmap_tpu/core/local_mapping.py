@@ -429,27 +429,13 @@ class LocalMapping:
         at least 3 other KFs at the same/finer scale dies
         (reference: LocalMapping::KeyFrameCulling, ratio 0.9)."""
         st = self.store
-        for lk in st.covisible_kfs(k):
-            if lk == 0 or not st.kf_alive[lk] or not st.kf_genuine[lk]:
-                continue
-            mps = st.kf_kp_mp[lk]
-            total = 0
-            redundant = 0
-            for kp, m in enumerate(mps):
-                mi = int(m)
-                if mi == NO_MP or not st.mp_alive[mi]:
-                    continue
-                total += 1
-                scale_lvl = st.kf_kp_octave[lk, kp]
-                n_better = 0
-                for ok, okp in st.obs.get(mi, {}).items():
-                    if ok != lk and st.kf_alive[ok] and st.kf_kp_octave[ok, okp] <= scale_lvl + 1:
-                        n_better += 1
-                        if n_better >= 3:
-                            break
-                if n_better >= 3:
-                    redundant += 1
-            if total > 10 and redundant > 0.9 * total:
+        cands = [
+            lk for lk in st.covisible_kfs(k)
+            if lk != 0 and st.kf_alive[lk] and st.kf_genuine[lk]
+        ]
+        total, redundant = st.redundancy_counts(cands)
+        for lk, t, r in zip(cands, total, redundant):
+            if t > 10 and r > 0.9 * t:
                 if self.kfdb is not None:
                     self.kfdb.erase(lk)
                 st.set_kf_bad(lk)

@@ -509,6 +509,48 @@ class MapStore:
             connected = [ordered[0][0]]
         return connected
 
+    def redundancy_counts(self, cands: list[int]) -> tuple[np.ndarray, np.ndarray]:
+        """Per-candidate (total, redundant) observation counts for
+        keyframe culling: a point is redundant when >=3 OTHER alive
+        keyframes see it at the same-or-finer octave (reference:
+        LocalMapping::KeyFrameCulling / MapManager::KeyFrameCulling).
+
+        Batch-computed in the native C++ kernel
+        (native/src/mapops.cc:redundancy_counts) when the toolchain is
+        available; pure-python fallback otherwise."""
+        if not cands:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        from .. import native
+
+        n_kf = self.n_kf
+        rows = self.kf_kp_mp[:n_kf].astype(np.int32, copy=True)
+        # scrub dead points so native `row >= 0` equals mp_alive checks
+        live = rows >= 0
+        rows[live & ~self.mp_alive[np.clip(rows, 0, None)]] = NO_MP
+        total, red = native.redundancy(
+            rows, self.kf_kp_octave[:n_kf].astype(np.int32),
+            self.kf_alive[:n_kf], np.asarray(cands, np.int32),
+        )
+        return total, red
+
+    def rebuild_covisibility(self) -> None:
+        """Recompute the whole covisibility table from the kp->mp rows
+        in one native batch pass — the bulk-load fast path (used after
+        applying a full map archive, where incremental per-observation
+        updates are quadratic)."""
+        from .. import native
+
+        n_kf = self.n_kf
+        rows = self.kf_kp_mp[:n_kf].astype(np.int32, copy=True)
+        live = rows >= 0
+        rows[live & ~self.mp_alive[np.clip(rows, 0, None)]] = NO_MP
+        i, j, c = native.covisibility(rows, self.kf_alive[:n_kf])
+        covis: dict[int, dict[int, int]] = {}
+        for a, b, w in zip(i.tolist(), j.tolist(), c.tolist()):
+            covis.setdefault(a, {})[b] = w
+            covis.setdefault(b, {})[a] = w
+        self.covis = covis
+
     def covisible_kfs(self, k: int, n: int = 0, min_weight: int = 1) -> list[int]:
         con = [
             (w, k2) for k2, w in self.covis.get(k, {}).items()

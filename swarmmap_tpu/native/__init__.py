@@ -147,3 +147,78 @@ def covisibility(kf_mp: np.ndarray, kf_alive: np.ndarray,
         return (np.zeros(0, np.int32),) * 3
     i, j, c = map(np.asarray, zip(*pairs))
     return i.astype(np.int32), j.astype(np.int32), c.astype(np.int32)
+
+
+def redundancy(kf_mp: np.ndarray, kf_oct: np.ndarray, kf_alive: np.ndarray,
+               cands: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-candidate (total, redundant) counts for keyframe culling."""
+    kf_mp = np.ascontiguousarray(kf_mp, np.int32)
+    kf_oct = np.ascontiguousarray(kf_oct, np.int32)
+    alive = np.ascontiguousarray(kf_alive, np.uint8)
+    cands = np.ascontiguousarray(cands, np.int32)
+    total = np.zeros(len(cands), np.int32)
+    red = np.zeros(len(cands), np.int32)
+    lib = get_lib()
+    if lib is not None:
+        lib.redundancy_counts(
+            kf_mp, kf_oct, kf_mp.shape[0], kf_mp.shape[1], alive,
+            cands, len(cands), total, red,
+        )
+        return total, red
+    # python fallback (same semantics)
+    from collections import defaultdict
+
+    obs = defaultdict(list)
+    for k in range(kf_mp.shape[0]):
+        if not alive[k]:
+            continue
+        for p in np.where(kf_mp[k] >= 0)[0]:
+            obs[int(kf_mp[k, p])].append((k, int(kf_oct[k, p])))
+    for c, k in enumerate(cands):
+        t = r = 0
+        for p in np.where(kf_mp[k] >= 0)[0]:
+            entries = obs.get(int(kf_mp[k, p]))
+            if not entries:
+                continue
+            t += 1
+            lvl = int(kf_oct[k, p])
+            better = sum(1 for ok, ooct in entries if ok != k and ooct <= lvl + 1)
+            if better >= 3:
+                r += 1
+        total[c] = t
+        red[c] = r
+    return total, red
+
+
+def aggregate_keep(kind: np.ndarray, func: np.ndarray, target: np.ndarray,
+                   last_writer: np.ndarray, is_badflag: np.ndarray) -> np.ndarray:
+    """Op-log compaction keep-mask (reference: Mapit::Aggregate).
+
+    kind/func are small int ids; last_writer/is_badflag are per-func-id
+    flag tables. Returns a bool keep mask; for last-writer funcs the
+    LAST record survives."""
+    kind = np.ascontiguousarray(kind, np.int32)
+    func = np.ascontiguousarray(func, np.int32)
+    target = np.ascontiguousarray(target, np.int64)
+    lw = np.ascontiguousarray(last_writer, np.uint8)
+    bf = np.ascontiguousarray(is_badflag, np.uint8)
+    keep = np.zeros(len(kind), np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        lib.aggregate_oplog(kind, func, target, len(kind), lw, bf, keep)
+        return keep.astype(bool)
+    # python fallback
+    keep[:] = 1
+    dead = {(int(t), int(k)) for t, k, f in zip(target, kind, func) if bf[f]}
+    last: dict[tuple, int] = {}
+    for i in range(len(kind)):
+        if (int(target[i]), int(kind[i])) in dead and not bf[func[i]]:
+            keep[i] = 0
+            continue
+        if lw[func[i]]:
+            key = (int(target[i]), int(kind[i]), int(func[i]))
+            prev = last.get(key)
+            if prev is not None:
+                keep[prev] = 0
+            last[key] = i
+    return keep.astype(bool)

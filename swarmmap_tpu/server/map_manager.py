@@ -278,26 +278,10 @@ class MapManager:
         """Post-fusion culling (reference: MapManager::KeyFrameCulling,
         >=85% redundant observations)."""
         st = self.stores[map_id]
-        for k in st.alive_kf_slots():
-            if k == 0 or not st.kf_genuine[k]:
-                continue
-            mps = st.kf_kp_mp[k]
-            total = redundant = 0
-            for kp, m in enumerate(mps):
-                mi = int(m)
-                if mi == NO_MP or not st.mp_alive[mi]:
-                    continue
-                total += 1
-                lvl = st.kf_kp_octave[k, kp]
-                n_better = 0
-                for ok, okp in st.obs.get(mi, {}).items():
-                    if ok != k and st.kf_alive[ok] and st.kf_kp_octave[ok, okp] <= lvl + 1:
-                        n_better += 1
-                        if n_better >= 3:
-                            break
-                if n_better >= 3:
-                    redundant += 1
-            if total > 10 and redundant > redundancy * total:
+        cands = [k for k in st.alive_kf_slots() if k != 0 and st.kf_genuine[k]]
+        total, red = st.redundancy_counts(cands)
+        for k, t, r in zip(cands, total, red):
+            if t > 10 and r > redundancy * t:
                 st.set_kf_bad(k)
 
     # ------------------------------------------------------------------

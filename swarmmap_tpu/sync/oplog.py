@@ -80,27 +80,33 @@ class Mapit:
         self.log.append(UpdateRecord(next(self._seq), kind, func, target, args))
 
     def aggregate(self, records: list[UpdateRecord]) -> list[UpdateRecord]:
-        """Compact the log (reference: Mapit::Aggregate)."""
-        dead_kf = {r.target for r in records if r.kind == "kf" and r.func == "SetBadFlag"}
-        dead_mp = {r.target for r in records if r.kind == "mp" and r.func == "SetBadFlag"}
-        last: dict[tuple, UpdateRecord] = {}
-        out: list[UpdateRecord] = []
-        for r in records:
-            if r.kind == "kf" and r.target in dead_kf and r.func != "SetBadFlag":
-                continue
-            if r.kind == "mp" and r.target in dead_mp and r.func != "SetBadFlag":
-                continue
-            if r.func in LAST_WRITER_OPS:
-                key = (r.kind, r.func, r.target)
-                if key in last:
-                    # replace earlier record in place (keeps global order
-                    # close to original)
-                    last[key].args = r.args
-                    last[key].seq = r.seq
-                    continue
-                last[key] = r
-            out.append(r)
-        return out
+        """Compact the log (reference: Mapit::Aggregate).
+
+        The keep-mask is computed by the native batch kernel
+        (native/src/mapops.cc:aggregate_oplog; python fallback inside the
+        wrapper): drop every record on a SetBadFlag'd target except the
+        flag itself, and keep only the LAST record per
+        (kind, func, target) for last-writer funcs."""
+        if not records:
+            return []
+        from .. import native
+
+        kind_ids = {"kf": 0, "mp": 1, "map": 2}
+        func_ids: dict[str, int] = {}
+        kinds = np.empty(len(records), np.int32)
+        funcs = np.empty(len(records), np.int32)
+        targets = np.empty(len(records), np.int64)
+        for i, r in enumerate(records):
+            kinds[i] = kind_ids[r.kind]
+            funcs[i] = func_ids.setdefault(r.func, len(func_ids))
+            targets[i] = r.target
+        lw = np.zeros(max(len(func_ids), 1), np.uint8)
+        bf = np.zeros(max(len(func_ids), 1), np.uint8)
+        for name, fid in func_ids.items():
+            lw[fid] = name in LAST_WRITER_OPS
+            bf[fid] = name == "SetBadFlag"
+        keep = native.aggregate_keep(kinds, funcs, targets, lw, bf)
+        return [r for r, k in zip(records, keep) if k]
 
     # ------------------------------------------------------------------ push
     def archive(self) -> MapSlice:
@@ -261,9 +267,21 @@ class Mapit:
         # 6. update log
         for r in sorted(sl.updates, key=lambda r: r.seq):
             self._apply_update(r, on_map_event)
-        # refresh covisibility for the new keyframes
-        for k, _ in new_kfs:
-            st.update_connections(k, log=False)
+        # refresh covisibility for the new keyframes; bulk loads (full
+        # map archives) rebuild the whole table in one native batch pass
+        # instead of N incremental per-keyframe walks
+        if len(new_kfs) >= 32:
+            st.rebuild_covisibility()
+            for k, _ in new_kfs:
+                if st.kf_parent[k] < 0 and k != 0:
+                    row = st.covis.get(k, {})
+                    live = {k2: w for k2, w in row.items()
+                            if st.kf_alive[k2] and st.kf_gid[k2] < st.kf_gid[k]}
+                    if live:
+                        st.kf_parent[k] = max(live, key=live.get)
+        else:
+            for k, _ in new_kfs:
+                st.update_connections(k, log=False)
 
     def _apply_update(self, r: UpdateRecord, on_map_event=None):
         """funcName dispatch (reference: MapUpdater::Apply,

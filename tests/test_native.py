@@ -77,3 +77,33 @@ def test_aggregate_oplog(lib):
     # record 0 superseded by record 1 (same kind/func/target, last wins)
     assert keep.tolist() == [0, 1, 1, 0, 0, 1]
     assert kept == 3
+
+
+def test_redundancy_native_matches_fallback(lib, rng):
+    n_kf, n_kp = 12, 64
+    kf_mp = rng.randint(-1, 40, (n_kf, n_kp)).astype(np.int32)
+    kf_oct = rng.randint(0, 8, (n_kf, n_kp)).astype(np.int32)
+    alive = rng.rand(n_kf) > 0.2
+    cands = np.arange(1, n_kf, dtype=np.int32)
+    t1, r1 = native.redundancy(kf_mp, kf_oct, alive, cands)
+    # force the python fallback through a temporary lib outage
+    saved, native._lib = native._lib, None
+    savedf, native._build_failed = native._build_failed, True
+    try:
+        t2, r2 = native.redundancy(kf_mp, kf_oct, alive, cands)
+    finally:
+        native._lib, native._build_failed = saved, savedf
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_aggregate_keep_last_writer(lib):
+    # three SetPose on target 7 -> only the LAST survives; SetBadFlag on
+    # target 3 kills its earlier op but not itself
+    kind = np.zeros(6, np.int32)
+    func = np.array([0, 0, 1, 0, 2, 1], np.int32)  # 0=SetPose 1=Other 2=SetBadFlag
+    target = np.array([7, 7, 3, 7, 3, 9], np.int64)
+    lw = np.array([1, 0, 0], np.uint8)
+    bf = np.array([0, 0, 1], np.uint8)
+    keep = native.aggregate_keep(kind, func, target, lw, bf)
+    np.testing.assert_array_equal(keep, [False, False, False, True, True, True])
