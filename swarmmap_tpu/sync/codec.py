@@ -85,6 +85,11 @@ def encode_slice(sl: MapSlice) -> bytes:
 
 
 def decode_slice(data: bytes) -> MapSlice:
+    if data.startswith(b"22 serialization::archive"):
+        # slice pushed by a reference client (MapUpdater::Serialize)
+        from . import boost_text
+
+        return boost_text.decode_slice(data)
     d = unpack(data)
     assert d["v"] == WIRE_VERSION, f"wire version mismatch: {d['v']}"
     kfs = [{k: _fix_tuple(k, v) for k, v in p.items()} for p in d["kfs"]]
@@ -117,6 +122,11 @@ class Request:
 
     @classmethod
     def decode(cls, data: bytes) -> "Request":
+        if data.startswith(b"22 serialization::archive"):
+            # reference peer: boost text-archive wire (BoostArchiver.h)
+            from . import boost_text
+
+            return boost_text.decode_request(data)
         src, dst, path, body = unpack(data)
         return cls(src=src, dst=dst, path=path, body=body)
 
@@ -135,6 +145,10 @@ def encode_state(state) -> bytes:
 def decode_state(data: bytes):
     from ..core.tracking import SystemState
 
+    if data.startswith(b"22 serialization::archive"):
+        from . import boost_text
+
+        return boost_text.decode_state(data)
     loc, burst, stable, n_tracked, lost = unpack(data)
     return SystemState(location=loc, velocity_burst=burst, stable=stable,
                        n_tracked=n_tracked, lost_count=lost)
