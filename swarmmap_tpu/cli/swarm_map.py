@@ -11,6 +11,7 @@ from pathlib import Path
 
 from ..swarm import Swarm, SwarmConfig
 from ..utils.logging import get_logger
+from ..utils.profiling import maybe_trace, named_range
 from .common import base_parser, load_vocab, load_world
 
 _log = get_logger("swarm_map")
@@ -33,19 +34,22 @@ def main(argv=None):
     n_frames = min(len(s) for s in seqs)
     t0 = time.time()
     lat = []
-    for i in range(n_frames):
-        ts = time.time()
-        swarm.step([s.read(i) for s in seqs], float(seqs[0].timestamps[i]))
-        lat.append(time.time() - ts)
-        if i % 50 == 0:
-            _log.info(
-                "frame %d/%d | %s", i, n_frames,
-                " ".join(
-                    f"a{a.agent_id}:kf={a.system.n_keyframes()},mp={a.system.n_map_points()}"
-                    for a in swarm.agents
-                ),
-            )
-    swarm.finish()
+    with maybe_trace():  # SWARMMAP_TRACE_DIR=<dir> captures an XProf trace
+        for i in range(n_frames):
+            ts = time.time()
+            with named_range(f"swarm.step[{i}]"):
+                swarm.step([s.read(i) for s in seqs],
+                           float(seqs[0].timestamps[i]))
+            lat.append(time.time() - ts)
+            if i % 50 == 0:
+                _log.info(
+                    "frame %d/%d | %s", i, n_frames,
+                    " ".join(
+                        f"a{a.agent_id}:kf={a.system.n_keyframes()},mp={a.system.n_map_points()}"
+                        for a in swarm.agents
+                    ),
+                )
+        swarm.finish()
     wall = time.time() - t0
 
     out = Path(args.out)

@@ -131,6 +131,10 @@ class MapStore:
         # points whose observation sets changed since last refresh — the
         # descriptor/normal recompute loops only touch these
         self.dirty_mps: set[int] = set()
+        # points whose visible/found counters changed since the last push
+        # (drained by Mapit.archive into last-writer SetVisible/SetFound)
+        self.dirty_vis: set[int] = set()
+        self.dirty_found: set[int] = set()
 
     # -- logging hook --------------------------------------------------------
     def _emit(self, kind: str, func: str, gid: int, args: tuple, log: bool):
@@ -389,22 +393,19 @@ class MapStore:
                    (int(self.mp_gid[m_new]),), log)
 
     def increase_visible(self, ms: np.ndarray, log: bool = True):
+        """SetVisible is last-writer-wins on the wire, so per-frame counter
+        bumps only mark the point dirty; Mapit.archive synthesizes ONE
+        record per dirty point at push time (no per-element host loop on
+        the frame path)."""
         self.mp_visible[ms] += 1
         if log and self.log_fn is not None:
-            for m in np.atleast_1d(ms):
-                self._emit("mp", "SetVisible", int(self.mp_gid[m]),
-                           (int(self.mp_visible[m]),), log)
+            self.dirty_vis.update(np.atleast_1d(ms).tolist())
 
     def increase_found(self, ms: np.ndarray, log: bool = True):
         self.mp_found[ms] += 1
-        now = global_clock()
-        self.mp_last_tracked[ms] = now
+        self.mp_last_tracked[ms] = global_clock()
         if log and self.log_fn is not None:
-            for m in np.atleast_1d(ms):
-                self._emit("mp", "SetFound", int(self.mp_gid[m]),
-                           (int(self.mp_found[m]),), log)
-                self._emit("mp", "SetLastTrackedTime", int(self.mp_gid[m]),
-                           (float(now),), log)
+            self.dirty_found.update(np.atleast_1d(ms).tolist())
 
     # -- descriptors / geometry refresh -------------------------------------------
     def compute_distinctive_descriptor(self, m: int, log: bool = True):

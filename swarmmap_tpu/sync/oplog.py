@@ -122,6 +122,24 @@ class Mapit:
             mps.append(self._mp_payload(int(m)))
             st.mp_to_serialize[m] = False
             self.shipped_mp.add(int(st.mp_gid[m]))
+        # synthesize the deferred counter records (one last-writer record
+        # per dirty point, instead of a host loop on every frame)
+        for dirty, funcs in (
+            (st.dirty_vis, (("SetVisible", st.mp_visible),)),
+            (st.dirty_found, (("SetFound", st.mp_found),
+                              ("SetLastTrackedTime", st.mp_last_tracked))),
+        ):
+            for m in dirty:
+                if not st.mp_alive[m]:
+                    continue
+                gid = int(st.mp_gid[m])
+                if gid not in self.shipped_mp:
+                    continue
+                for func, arr in funcs:
+                    val = float(arr[m]) if arr.dtype.kind == "f" else int(arr[m])
+                    self.log.append(UpdateRecord(
+                        next(self._seq), "mp", func, gid, (val,)))
+            dirty.clear()
         updates = self.aggregate(self.log)
         self.log = []
         twl = None
