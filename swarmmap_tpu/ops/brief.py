@@ -20,12 +20,13 @@ Two TPU formulations:
   [N,K]×[K,8192] bf16 matmul plus a one-hot bin selection — no gathers
   except the N contiguous (P,P) patch slices.
 
-The sampling pattern is generated deterministically here (isotropic
-Gaussian pairs, sigma = patch/5, clipped to +-13 as in the classic BRIEF
-construction) — descriptors are self-consistent within this framework
-rather than bit-compatible with OpenCV's learned pattern, which only
-matters for interop with maps produced by the reference binary (tracked
-as a parity item in PARITY.md).
+Two sampling patterns are available (``pattern=`` /
+``SWARMMAP_ORB_PATTERN``): "synthetic" (deterministic isotropic Gaussian
+pairs, sigma = patch/5, clipped to ±13 as in the classic BRIEF
+construction — the self-consistent default) and "opencv" (the learned
+``bit_pattern_31_`` table, a BSD-licensed public constant transcribed by
+tools/extract_orb_pattern.py — pattern-level interop with maps produced
+by the reference binary).
 """
 from __future__ import annotations
 
@@ -45,9 +46,28 @@ PATCH = 2 * PATCH_R + 1
 PATCH_K = PATCH * PATCH
 
 
+# "synthetic": deterministic Gaussian pairs (self-consistent default).
+# "opencv":   OpenCV's learned bit_pattern_31_ (BSD public constant,
+#             transcribed by tools/extract_orb_pattern.py) — use for
+#             descriptor-level interop with reference-built maps/ORBvoc.
+# Override the default with SWARMMAP_ORB_PATTERN=opencv.
+import os
+
+DEFAULT_PATTERN = os.environ.get("SWARMMAP_ORB_PATTERN", "synthetic")
+
+
 @functools.lru_cache(maxsize=None)
-def brief_pattern() -> np.ndarray:
+def brief_pattern(name: str | None = None) -> np.ndarray:
     """[512, 2] int8 sampling offsets (pairs are (2i, 2i+1))."""
+    name = name or DEFAULT_PATTERN
+    if name == "opencv":
+        from pathlib import Path
+
+        data = Path(__file__).resolve().parent.parent / "data" / \
+            "orb_pattern_opencv.npz"
+        pts = np.load(data)["pattern"].astype(np.int8)
+        assert pts.shape == (2 * N_BITS, 2)
+        return pts
     rng = np.random.RandomState(PATTERN_SEED)
     pts = np.clip(
         np.round(rng.normal(0.0, 31 / 5.0, size=(2 * N_BITS, 2))),
@@ -66,10 +86,11 @@ def compute_descriptors(
     xy: jnp.ndarray,
     angles_deg: jnp.ndarray,
     valid: jnp.ndarray,
+    pattern: str | None = None,
 ) -> jnp.ndarray:
     """[H,W] blurred level image + keypoints -> [N,8] uint32 descriptors."""
     h, w = img_blur.shape
-    pat = jnp.asarray(brief_pattern(), jnp.float32)  # [512,2]
+    pat = jnp.asarray(brief_pattern(pattern), jnp.float32)  # [512,2]
     a = jnp.radians(angles_deg)
     ca, sa = jnp.cos(a), jnp.sin(a)
     # rotate pattern: x' = x ca - y sa ; y' = x sa + y ca  (per keypoint)
@@ -97,7 +118,7 @@ def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _binned_weights() -> np.ndarray:
+def _binned_weights(pattern: str | None = None) -> np.ndarray:
     """[PATCH_K, N_BINS*256] int8 comparison weights.
 
     Column (b*256 + s) holds +1 at the flattened patch offset of sample
@@ -105,7 +126,7 @@ def _binned_weights() -> np.ndarray:
     (both samples land on the same pixel) cancels to 0, so the bit decides
     as ``v > 0`` = False — identical to the direct compare ``v_a < v_b``.
     """
-    pat = brief_pattern().astype(np.float64)
+    pat = brief_pattern(pattern).astype(np.float64)
     W = np.zeros((N_BINS, PATCH_K, N_BITS), np.int8)
     for b in range(N_BINS):
         th = 2.0 * np.pi * b / N_BINS
@@ -160,6 +181,7 @@ def descriptors_from_patches(
     patches: jnp.ndarray,
     angles_deg: jnp.ndarray,
     valid: jnp.ndarray,
+    pattern: str | None = None,
 ) -> jnp.ndarray:
     """[N, PATCH, PATCH] integral-intensity patches -> [N,8] uint32.
 
@@ -168,7 +190,7 @@ def descriptors_from_patches(
     MXU dispatch instead of 8 small under-utilizing ones.
     """
     Pm = patches.reshape(-1, PATCH_K).astype(jnp.bfloat16)
-    W = jnp.asarray(_binned_weights(), jnp.bfloat16)
+    W = jnp.asarray(_binned_weights(pattern), jnp.bfloat16)
     vals = jnp.dot(Pm, W, preferred_element_type=jnp.float32)
     vals = vals.reshape(-1, N_BINS, N_BITS)
     onehot = jax.nn.one_hot(angle_bins(angles_deg), N_BINS, dtype=jnp.float32)
@@ -181,6 +203,7 @@ def compute_descriptors_binned(
     xy: jnp.ndarray,
     angles_deg: jnp.ndarray,
     valid: jnp.ndarray,
+    pattern: str | None = None,
 ) -> jnp.ndarray:
     """MXU-path descriptors: [H,W] blurred level -> [N,8] uint32.
 
@@ -191,7 +214,7 @@ def compute_descriptors_binned(
     """
     img_u = jnp.round(jnp.clip(img_blur, 0.0, 255.0))
     patches = extract_patches(img_u, xy)
-    return descriptors_from_patches(patches, angles_deg, valid)
+    return descriptors_from_patches(patches, angles_deg, valid, pattern)
 
 
 def unpack_bits(desc_u32: jnp.ndarray) -> jnp.ndarray:

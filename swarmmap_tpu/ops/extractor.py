@@ -53,6 +53,7 @@ def _round_up(x: int, m: int) -> int:
     jax.jit,
     static_argnames=(
         "n_features", "n_levels", "scale", "th_high", "th_low", "desc_mode",
+        "desc_pattern",
     ),
 )
 def extract_orb(
@@ -63,6 +64,7 @@ def extract_orb(
     th_high: float = 20.0,
     th_low: float = 7.0,
     desc_mode: str = "binned",
+    desc_pattern: str | None = None,
 ) -> FrameFeatures:
     """[H,W] u8/f32 -> FrameFeatures with N = n_features rounded up to 128.
 
@@ -70,6 +72,9 @@ def extract_orb(
     by quantized angle bins and computes every descriptor as one MXU
     matmul sign (~2x faster front-end on TPU); "exact" rotates the
     pattern per keypoint and gathers (bit-stable with older maps).
+    desc_pattern picks the sampling pattern: None -> brief.DEFAULT_PATTERN
+    ("synthetic", or SWARMMAP_ORB_PATTERN=opencv for descriptor interop
+    with reference-built maps).
     """
     levels = pyramid.build_pyramid(img, n_levels, scale)
     budgets = level_budgets(n_features, n_levels, scale)
@@ -91,7 +96,7 @@ def extract_orb(
                 jnp.round(jnp.clip(blurred, 0.0, 255.0)), kps.xy))
         else:
             descs.append(brief.compute_descriptors(
-                blurred, kps.xy, ang, kps.valid))
+                blurred, kps.xy, ang, kps.valid, pattern=desc_pattern))
         s = jnp.float32(scale**l)
         xs.append(kps.xy * s)
         resps.append(kps.score)
@@ -106,7 +111,7 @@ def extract_orb(
     valid = jnp.concatenate(vals, 0)
     if binned:
         desc = brief.descriptors_from_patches(
-            jnp.concatenate(patches, 0), angle, valid)
+            jnp.concatenate(patches, 0), angle, valid, pattern=desc_pattern)
     else:
         desc = jnp.concatenate(descs, 0)
     pad = n_total - xy.shape[0]

@@ -220,3 +220,30 @@ def test_extract_orb_repeatability():
     f1 = extractor.extract_orb(jnp.asarray(seq.read(1)), n_features=512, n_levels=4)
     assert int(np.asarray(f0.valid).sum()) > 80
     assert int(np.asarray(f1.valid).sum()) > 80
+
+
+def test_opencv_learned_pattern(rng):
+    """The OpenCV bit_pattern_31_ option: loads, stays within the patch
+    bound, matches binned==exact at bin centers, and produces distinct
+    descriptors from the synthetic pattern."""
+    pat = brief.brief_pattern("opencv")
+    assert pat.shape == (512, 2) and np.abs(pat).max() <= 13
+    # the learned pattern is not the synthetic one
+    assert not np.array_equal(pat, brief.brief_pattern("synthetic"))
+    img = np.round(rng.rand(96, 128).astype(np.float32) * 255.0)
+    n = 16
+    xy = np.stack([rng.uniform(25, 100, n), rng.uniform(25, 70, n)], -1).astype(np.float32)
+    ang = (rng.randint(0, brief.N_BINS, n) * (360.0 / brief.N_BINS)).astype(np.float32)
+    ok = jnp.ones(n, bool)
+    d_e = np.asarray(brief.compute_descriptors(
+        jnp.asarray(img), jnp.asarray(xy), jnp.asarray(ang), ok, pattern="opencv"))
+    d_b = np.asarray(brief.compute_descriptors_binned(
+        jnp.asarray(img), jnp.asarray(xy), jnp.asarray(ang), ok, pattern="opencv"))
+    np.testing.assert_array_equal(d_e, d_b)
+    d_s = np.asarray(brief.compute_descriptors(
+        jnp.asarray(img), jnp.asarray(xy), jnp.asarray(ang), ok, pattern="synthetic"))
+    assert not np.array_equal(d_e, d_s)
+    # end-to-end: extractor accepts the pattern switch
+    f = extractor.extract_orb(jnp.asarray(img), n_features=128, n_levels=3,
+                              desc_pattern="opencv")
+    assert int(np.asarray(f.valid).sum()) > 0
