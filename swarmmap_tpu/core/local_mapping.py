@@ -14,6 +14,9 @@ overlaps mapping of frame t on device vs host.
 """
 from __future__ import annotations
 
+import threading
+import time
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -114,6 +117,14 @@ class LocalMapping:
         self.on_loop_closing = on_loop_closing  # server-side loop-closer hook
         self.recent_mps: list[int] = []
         self.queue: list[int] = []
+        # async mode (reference: LocalMapping::Run free thread). Off by
+        # default: the synchronous path is deterministic and is what the
+        # tests gate on.
+        self._async = False
+        self._cv = threading.Condition()
+        self._busy = False
+        self._stop = False
+        self._thread: threading.Thread | None = None
 
     @property
     def scale_factor(self):
@@ -124,13 +135,77 @@ class LocalMapping:
         return self.settings.orb.n_levels
 
     def insert_keyframe(self, k: int):
-        self.queue.append(k)
-        self.process_queue()
+        if self._async:
+            with self._cv:
+                self.queue.append(k)
+                self._cv.notify()
+        else:
+            self.queue.append(k)
+            self.process_queue()
 
     def process_queue(self):
         while self.queue:
             k = self.queue.pop(0)
             self.process_keyframe(k)
+
+    # ------------------------------------------------------------ async mode
+    def start_async(self):
+        """Run the mapping pipeline in a worker thread, overlapping with
+        tracking (reference runs LocalMapping::Run as a free thread;
+        SURVEY.md §2.10 intra-agent pipeline parallelism).  Mutations are
+        serialized through store.lock; tracking's device dispatches
+        overlap with mapping's host bookkeeping and vice versa."""
+        if self._async:
+            return
+        self._async = True
+        self._stop = False
+
+        def run():
+            while True:
+                with self._cv:
+                    while not self.queue and not self._stop:
+                        self._cv.wait(0.05)
+                    if self._stop and not self.queue:
+                        return
+                    k = self.queue.pop(0)
+                    self._busy = True
+                try:
+                    with self.store.lock:
+                        self.process_keyframe(k)
+                except Exception:  # noqa: BLE001 — worker must survive
+                    _log.exception("async local mapping failed for kf %d", k)
+                finally:
+                    with self._cv:
+                        self._busy = False
+                        self._cv.notify_all()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait_idle(self, timeout: float = 30.0):
+        """Barrier: block until the queue is drained (used before pushes
+        and at shutdown so archives see a settled map)."""
+        if not self._async:
+            return
+        deadline = time.monotonic() + timeout
+        with self._cv:
+            while self.queue or self._busy:
+                if not self._cv.wait(min(0.05, max(deadline - time.monotonic(), 0.001))):
+                    if time.monotonic() >= deadline:
+                        _log.warning("wait_idle timed out with %d queued",
+                                     len(self.queue))
+                        return
+
+    def stop_async(self):
+        if not self._async:
+            return
+        self.wait_idle()
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self._async = False
 
     def process_keyframe(self, k: int):
         st = self.store

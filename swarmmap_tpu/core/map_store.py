@@ -17,6 +17,7 @@ where the Mapit change log (L4) attaches.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Callable
 
 import numpy as np
@@ -128,6 +129,10 @@ class MapStore:
 
         # restoration queues for out-of-order sync (Map.cc:401-423)
         self.pending_obs: list[tuple[int, int, int]] = []  # (mp_gid, kf_gid, kp)
+        # serializes tracking-vs-mapping mutations in async-mapping mode
+        # (reference: per-object mutexes in KeyFrame/MapPoint/Map);
+        # reentrant so nested mutators compose. Uncontended cost ~100ns.
+        self.lock = threading.RLock()
         # points whose observation sets changed since last refresh — the
         # descriptor/normal recompute loops only touch these
         self.dirty_mps: set[int] = set()

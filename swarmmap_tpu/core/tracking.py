@@ -128,21 +128,25 @@ class Tracking:
                 and self.fused_eligible()):
             frame = self._track_fused(image, timestamp)
         if frame is None:
+            # device extraction runs unlocked; all host-side map access
+            # below is serialized against async local mapping
             frame = build_frame(image, timestamp, self.settings.camera,
                                 self.settings.orb, depth_image=depth_image,
                                 features=features)
             if kp_depth is not None:
                 frame.kp_depth = kp_depth
-            if self.state in (TrackingState.NO_IMAGES_YET,
-                              TrackingState.NOT_INITIALIZED):
-                self.state = TrackingState.NOT_INITIALIZED
-                if frame.kp_depth is not None:
-                    self._depth_initialization(frame)
+            with self.store.lock:
+                if self.state in (TrackingState.NO_IMAGES_YET,
+                                  TrackingState.NOT_INITIALIZED):
+                    self.state = TrackingState.NOT_INITIALIZED
+                    if frame.kp_depth is not None:
+                        self._depth_initialization(frame)
+                    else:
+                        self._monocular_initialization(frame)
                 else:
-                    self._monocular_initialization(frame)
-            else:
-                self._track(frame)
-        return self.finish_frame(frame, timestamp)
+                    self._track(frame)
+        with self.store.lock:
+            return self.finish_frame(frame, timestamp)
 
     # ------------------------------------------------------------ fused path
     def _collect_local_slots(self) -> np.ndarray:
@@ -199,6 +203,13 @@ class Tracking:
         from .. import pipeline
 
         st = self.store
+        self.store.lock.acquire()
+        try:
+            return self._prepare_fused_locked(st, image, pipeline)
+        finally:
+            self.store.lock.release()
+
+    def _prepare_fused_locked(self, st, image, pipeline):
         slots = self._collect_local_slots()
         if len(slots) < 50:
             return None
@@ -229,6 +240,14 @@ class Tracking:
         device program: build the Frame, claim matches, do the
         steady-state bookkeeping — or fall back to the staged path
         reusing the extraction."""
+        with self.store.lock:
+            return self._commit_fused_locked(
+                image, timestamp, slots, Tcw_np, n_inl, match_local,
+                f_xy, f_oct, f_ang, f_resp, f_desc, f_valid)
+
+    def _commit_fused_locked(self, image, timestamp, slots, Tcw_np, n_inl,
+                             match_local, f_xy, f_oct, f_ang, f_resp,
+                             f_desc, f_valid) -> Frame:
         st = self.store
         orb = self.settings.orb
         n_inl = int(n_inl)

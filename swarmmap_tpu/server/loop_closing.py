@@ -317,10 +317,18 @@ class LoopClosing:
         return fused
 
     # ------------------------------------------------------------------
-    def global_ba(self, iters: int = 10):
+    def global_ba(self, iters: int = 10, should_abort=None, chunk: int = 4):
         """Full-map BA (reference: RunGlobalBundleAdjustment, 10 LM
-        iterations per server pass, MediatorScheduler.cc:122)."""
+        iterations per server pass, MediatorScheduler.cc:122).
+
+        `should_abort()` is the mbStopGBA analogue (LoopClosing.cc
+        RunGlobalBundleAdjustment): it is polled between LM chunks, and —
+        like the reference, which only applies GBA results after an
+        uninterrupted run — an aborted GBA discards all progress and
+        leaves the map untouched."""
         st = self.store
+        if iters <= 0:
+            return
         kfs = st.alive_kf_slots()
         mps = st.alive_mp_slots()
         if len(kfs) < 3 or len(mps) < 50:
@@ -345,8 +353,21 @@ class LoopClosing:
             st.kf_pose_cw[kfs], st.kf_K[kfs], fixed,
             st.mp_pos[mps], obs_cam, obs_pt, obs_uv, obs_is2,
         )
-        res = ba_ops.bundle_adjust(prob, iters_a=iters // 2, iters_b=iters - iters // 2,
-                                   mode="cg", cg_iters=32)
+        res = None
+        done = 0
+        first = True
+        while done < iters:
+            if should_abort is not None and should_abort():
+                _log.info("GBA aborted after %d/%d iterations (new request)",
+                          done, iters)
+                return
+            step = min(chunk, iters - done)
+            a = (step + 1) // 2 if first else 0  # prune phase once, up front
+            res = ba_ops.bundle_adjust(prob, iters_a=a, iters_b=step - a,
+                                       mode="cg", cg_iters=32)
+            prob = prob._replace(Tcw=res.Tcw, pts=res.pts)
+            done += step
+            first = False
         Tn, pn = (np.asarray(x) for x in fetch(res.Tcw, res.pts))
         for i, kk in enumerate(kfs):
             if not fixed[i]:

@@ -91,7 +91,16 @@ class MediatorScheduler:
             med.kfdb.add(med.store, vk)
         med.enhancer.compress()                         # MBP compress
         if len(new_kfs) > 0:
-            med.loop_closing.global_ba(self.gba_iters)  # GBA(10)
+            # mbStopGBA analogue: a NEWER pending push for this agent
+            # aborts the in-flight GBA (LoopClosing.cc
+            # RunGlobalBundleAdjustment); the next pass redoes it on the
+            # fresher map
+            def newer_pending():
+                with self._lock:
+                    return any(aid == agent_id for _, aid, _sl in self._heap)
+
+            med.loop_closing.global_ba(self.gba_iters,
+                                       should_abort=newer_pending)  # GBA(10)
         self.map_distribute(agent_id)
         self.processed += 1
 

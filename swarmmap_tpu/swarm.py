@@ -66,6 +66,10 @@ class SwarmAgent:
 class SwarmConfig:
     push_every: int = 20        # frames between map pushes (~2 s at 20 fps)
     report_every: int = 10      # frames between state reports (~500 ms)
+    # run each agent's local mapping in a worker thread, overlapping with
+    # tracking (reference: free LocalMapping::Run thread). Default off —
+    # the synchronous path is deterministic.
+    async_mapping: bool = False
 
 
 class Swarm:
@@ -105,6 +109,9 @@ class Swarm:
             self.scheduler.register_mediator(med)
             self.mediators.append(med)
         self._pending_distribute: dict[int, list[bytes]] = {i: [] for i in range(n_agents)}
+        if self.config.async_mapping:
+            for a in self.agents:
+                a.system.local_mapping.start_async()
         self.frame_count = 0
         self.fused_cohort_dispatches = 0  # frames where ALL steady agents ran as ONE dispatch
 
@@ -222,6 +229,9 @@ class Swarm:
     def finish(self):
         """Final flush (reference stops after 6 empty pushes; one final
         sync is enough for the synchronous harness)."""
+        if self.config.async_mapping:
+            for a in self.agents:
+                a.system.local_mapping.stop_async()
         self.sync()
 
     # -- outputs ---------------------------------------------------------------

@@ -112,6 +112,10 @@ class Mapit:
     def archive(self) -> MapSlice:
         """Collect new elements + drained, aggregated update log
         (reference: Map::ArchiveMap)."""
+        with self.store.lock:
+            return self._archive_locked()
+
+    def _archive_locked(self) -> MapSlice:
         st = self.store
         kfs, mps = [], []
         for k in np.where(st.kf_to_serialize[: st.n_kf] & st.kf_alive[: st.n_kf])[0]:
@@ -207,6 +211,11 @@ class Mapit:
         """Insert new elements + apply the update log
         (reference: Map::UpdateMap).  `on_map_event(func, target, args)`
         receives map-level events (AddLoopClosing, clear, ...)."""
+        with self.store.lock:
+            self._apply_slice_locked(sl, vocab, on_map_event)
+
+    def _apply_slice_locked(self, sl: MapSlice, vocab=None,
+                            on_map_event=None) -> None:
         st = self.store
         # 1. keyframes
         new_kfs = []

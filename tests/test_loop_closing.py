@@ -107,3 +107,24 @@ def test_map_segmentation(circuit_run):
     assert total == len(st.alive_kf_slots())
     for s in segs:
         assert len(s) >= 8 or s is segs[-1]
+
+
+def test_global_ba_abort_discards_progress(circuit_run):
+    """mbStopGBA analogue: an aborted GBA must leave the map untouched;
+    an uninterrupted one is free to move poses."""
+    swarm, seq, poses = circuit_run
+    med = swarm.mediators[0]
+    st = med.store
+    kfs = st.alive_kf_slots()
+    before = st.kf_pose_cw[kfs].copy()
+    pts_before = st.mp_pos[: st.n_mp].copy()
+    calls = []
+
+    def abort_after_first():
+        calls.append(1)
+        return len(calls) >= 2  # allow chunk 1, abort before chunk 2
+
+    med.loop_closing.global_ba(iters=8, should_abort=abort_after_first, chunk=2)
+    np.testing.assert_array_equal(st.kf_pose_cw[kfs], before)
+    np.testing.assert_array_equal(st.mp_pos[: st.n_mp], pts_before)
+    assert len(calls) >= 2  # the poll actually ran between chunks

@@ -150,3 +150,32 @@ def test_sts_priority_ordering():
     p1 = sched._priority(meds[1], sl)
     p2 = sched._priority(meds[2], sl)
     assert p1 < p2 < p0  # lost < lost-prevention < enrichment
+
+
+def test_async_mapping_mode():
+    """Tracking||mapping overlap (reference: free LocalMapping thread):
+    the async mode must track the same sequence successfully with map
+    mutations serialized through store.lock."""
+    hw = (240, 320)
+    n_frames = 30
+    seq = datasets.synthesize_sequence(n_frames=n_frames, hw=hw, seed=5,
+                                       agent=0, n_points=350)
+    settings = make_settings(seq.world, hw)
+    swarm = Swarm(1, settings,
+                  config=SwarmConfig(push_every=8, report_every=4,
+                                     async_mapping=True),
+                  run_server_gba=False)
+    tracked = 0
+    for i in range(n_frames):
+        swarm.step([seq.read(i)], float(seq.timestamps[i]))
+    # drain the worker before asserting
+    swarm.agents[0].system.local_mapping.wait_idle()
+    swarm.finish()
+    a = swarm.agents[0]
+    assert a.frames_tracked > 0.8 * n_frames, a.frames_tracked
+    st = a.system.store
+    assert st.kf_alive[: st.n_kf].sum() >= 2
+    assert st.mp_alive[: st.n_mp].sum() > 100
+    # server replica got the pushes
+    med = swarm.mediators[0]
+    assert len(med.store.kf_by_gid) >= 2
