@@ -61,6 +61,11 @@ class TrackingParams:
     use_fused_step: bool = True
     fused_window_th: float = 12.0
     fused_local_bucket: int = 2048
+    # dynamic-object filtering (reference: Dynamic_ORB_SLAM2 voting,
+    # MapPoint.h:129-132). Off by default, like the reference's mono
+    # entry points; when on, pose-opt outliers feed the vote ledger and
+    # dynamic-voted points are excluded from tracking candidate sets.
+    dynamic_filter: bool = False
 
 
 @dataclasses.dataclass
@@ -90,6 +95,11 @@ class Tracking:
         self.vocab = vocab
         self.local_mapping = local_mapping
         self.p = params or TrackingParams()
+        self.dynamic = None
+        if self.p.dynamic_filter:
+            from .dynamic import DynamicRunner
+
+            self.dynamic = DynamicRunner(store)
         self.state = TrackingState.NO_IMAGES_YET
         self.init_frame: Frame | None = None
         self.last_frame: Frame | None = None
@@ -181,6 +191,8 @@ class Tracking:
             slots = np.concatenate([seed_arr, extra])
         else:
             slots = seed_arr
+        if self.dynamic is not None and len(slots):
+            slots = slots[self.dynamic.filter_static(slots)]
         return slots[: self.p.fused_local_bucket].astype(np.int32)
 
     def fused_eligible(self, image_ok: bool = True) -> bool:
@@ -551,6 +563,9 @@ class Tracking:
         Tcw_np, inl = fetch(res.Tcw, res.inliers)
         frame.pose_cw = np.asarray(Tcw_np)
         inl = np.asarray(inl)
+        if self.dynamic is not None:
+            # rigid-motion outliers are dynamic evidence, inliers static
+            self.dynamic.votes.vote(slots[valid], ~inl[valid])
         frame.mp[valid & ~inl] = NO_MP
         return int(inl.sum())
 
@@ -563,6 +578,8 @@ class Tracking:
         has = (lf.mp != NO_MP)
         raw = lf.mp[has]
         raw = raw[st.mp_alive[raw]]
+        if self.dynamic is not None and len(raw):
+            raw = raw[self.dynamic.filter_static(raw)]
         if len(raw) < 10:
             return False
         slots, kp_idx, valid, _vis = self._match_against_mps(

@@ -52,3 +52,43 @@ def test_residual_voting():
     keep = runner.filter_static(slots)
     assert not keep[0]
     assert keep[1:].all()
+
+
+def test_dynamic_filter_wired_into_tracking():
+    """dynamic_filter=True: pose-opt outliers accumulate dynamic votes
+    and voted points disappear from the tracking candidate sets."""
+    import numpy as np
+
+    from swarmmap_tpu.swarm import Swarm, SwarmConfig
+    from swarmmap_tpu.core.tracking import TrackingParams
+    from swarmmap_tpu.utils import datasets
+    from swarmmap_tpu.utils.config import CameraConfig, OrbConfig, Settings
+
+    hw = (240, 320)
+    seq = datasets.synthesize_sequence(n_frames=16, hw=hw, seed=3,
+                                       agent=0, n_points=350)
+    w = seq.world
+    settings = Settings(
+        camera=CameraConfig(fx=float(w.K[0, 0]), fy=float(w.K[1, 1]),
+                            cx=float(w.K[0, 2]), cy=float(w.K[1, 2]),
+                            fps=20.0, width=hw[1], height=hw[0]),
+        orb=OrbConfig(n_features=400, n_levels=4),
+    )
+    swarm = Swarm(1, settings, config=SwarmConfig(push_every=8),
+                  tracking_params=TrackingParams(dynamic_filter=True),
+                  run_server_gba=False)
+    for i in range(16):
+        swarm.step([seq.read(i)], float(seq.timestamps[i]))
+    swarm.finish()
+    tr = swarm.agents[0].system.tracking
+    assert tr.dynamic is not None
+    # votes accumulated (static-world sequence: static votes dominate)
+    assert tr.dynamic.votes.stat.sum() > 0
+    assert swarm.agents[0].frames_tracked > 12
+    # a hand-voted dynamic point is excluded by filter_static
+    st = swarm.agents[0].system.store
+    m = int(np.where(st.mp_alive[: st.n_mp])[0][0])
+    for _ in range(5):
+        tr.dynamic.votes.vote(np.array([m]), np.array([True]))
+    keep = tr.dynamic.filter_static(np.array([m]))
+    assert not keep[0]
