@@ -56,10 +56,13 @@ def main(argv=None):
     out.mkdir(parents=True, exist_ok=True)
     swarm.save_outputs(out)
     if args.mapviewer or args.viewer:
+        from ..viz.html_viewer import export_html
         from ..viz.viewer import draw_map
 
         for med in swarm.mediators:
             draw_map(med.store, out / f"map-server-{med.map_id}.png")
+        export_html([m.store for m in swarm.mediators], out / "map.html",
+                    title=f"{args.clients}-agent server maps")
     lat_sorted = sorted(lat)
     p50 = lat_sorted[len(lat) // 2] * 1e3
     p95 = lat_sorted[int(len(lat) * 0.95)] * 1e3

@@ -73,3 +73,24 @@ def test_trajectory_io(tmp_path, slam_run):
     txt = p.read_text().strip().splitlines()
     assert len(txt) == sys.n_keyframes()
     assert len(txt[0].split()) == 8
+
+
+def test_html_viewer_export(tmp_path, slam_run):
+    """The Pangolin-analogue HTML viewer embeds the full scene."""
+    sys, seq, poses = slam_run
+    from swarmmap_tpu.viz.html_viewer import export_html
+
+    out = tmp_path / "map.html"
+    export_html(sys.store, out, title="e2e map")
+    html = out.read_text()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "SCENE" in html and '"points"' in html and '"traj"' in html
+    # scene contains real geometry
+    import json
+    import re
+
+    scene = json.loads(re.search(r"const SCENE = (\{.*?\});\n", html).group(1))
+    assert len(scene["maps"]) == 1
+    assert len(scene["maps"][0]["points"]) > 100
+    assert len(scene["maps"][0]["traj"]) >= 2
+    assert scene["radius"] > 0
