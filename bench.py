@@ -102,8 +102,11 @@ def main() -> None:
     step = pipeline.make_multi_agent_step(
         n_features=N_FEATURES, n_levels=N_LEVELS, scale=1.2, hw=HW
     )
+    # rendered synthetic-world steady-state inputs: real correspondences,
+    # motion-model-grade pose guesses — the production workload shape
+    # (pipeline.realistic_track_inputs), not random noise
     single = [
-        pipeline.example_track_inputs(hw=HW, n_map_points=N_MAP_POINTS, seed=i)
+        pipeline.realistic_track_inputs(hw=HW, n_map_points=N_MAP_POINTS, seed=i)
         for i in range(N_AGENTS)
     ]
     batched = pipeline.TrackInputs(

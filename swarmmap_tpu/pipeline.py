@@ -173,6 +173,77 @@ def make_multi_agent_step(
     return jax.jit(fn)
 
 
+def realistic_track_inputs(
+    hw: tuple[int, int] = (480, 752), n_map_points: int = 2048, seed: int = 0,
+    n_features: int = 1000, n_levels: int = 8, scale: float = 1.2,
+) -> TrackInputs:
+    """Steady-state inputs from a RENDERED synthetic world: the local map
+    holds true landmark positions with descriptors extracted from the
+    previous frame, and the pose guess is the previous frame's true pose
+    — so matching finds real correspondences and LM converges the way it
+    does in production (unlike the random-noise example inputs, where
+    spurious matches force worst-case iteration counts)."""
+    import numpy as np
+
+    from .ops import extractor
+    from .utils import datasets
+
+    # a 40-frame arc gives EuRoC-like per-frame motion; render only the
+    # middle three frames (full-sequence rendering is seconds per frame)
+    f0, f1, f2 = 19, 20, 21
+    w = datasets.make_world(
+        n_points=min(n_map_points, 1500), n_frames=40, hw=hw, seed=seed
+    )
+    prev = datasets.render_frame(w, f1)
+    feats = extractor.extract_orb(
+        jnp.asarray(prev), n_features=n_features, n_levels=n_levels, scale=scale
+    )
+    xy, desc, valid = (np.asarray(x) for x in (feats.xy, feats.desc, feats.valid))
+    # associate detected keypoints to the world landmarks they image
+    Tcw0 = np.linalg.inv(w.poses_wc[f0]).astype(np.float32)
+    Tcw_prev = np.linalg.inv(w.poses_wc[f1]).astype(np.float32)
+    pc = (Tcw_prev[:3, :3] @ w.points.T).T + Tcw_prev[:3, 3]
+    uvw = (pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6)) * np.diag(w.K)[:2] + w.K[:2, 2]
+    infront = pc[:, 2] > 0.1
+    octv = np.asarray(feats.octave)
+    pos_l, desc_l, maxd_l = [], [], []
+    for i in np.where(valid)[0]:
+        d2 = np.sum((uvw - xy[i]) ** 2, 1)
+        d2[~infront] = np.inf
+        j = int(np.argmin(d2))
+        if d2[j] < 4.0:
+            pos_l.append(w.points[j])
+            desc_l.append(desc[i])
+            # max_dist = viewing distance * scale^octave (the
+            # UpdateNormalAndDepth rule, so predicted_octave gates right)
+            maxd_l.append(np.linalg.norm(pc[j]) * scale ** octv[i])
+    n = len(pos_l)
+    rng = np.random.RandomState(seed)
+    pos = np.zeros((n_map_points, 3), np.float32)
+    dsc = np.zeros((n_map_points, 8), np.uint32)
+    maxd = np.full(n_map_points, 12.0, np.float32)
+    ok = np.zeros(n_map_points, bool)
+    m = min(n, n_map_points)
+    pos[:m] = np.asarray(pos_l, np.float32)[:m]
+    dsc[:m] = np.asarray(desc_l, np.uint32)[:m]
+    maxd[:m] = np.asarray(maxd_l, np.float32)[:m]
+    ok[:m] = True
+    # pad with far-away distractors (realistic maps carry stale points)
+    pos[m:] = rng.uniform(-8, 8, (n_map_points - m, 3))
+    dsc[m:] = rng.randint(0, 2**32, (n_map_points - m, 8), dtype=np.uint32)
+    # constant-velocity extrapolation, exactly what the fused path feeds
+    guess = (Tcw_prev @ np.linalg.inv(Tcw0) @ Tcw_prev).astype(np.float32)
+    return TrackInputs(
+        image=jnp.asarray(datasets.render_frame(w, f2)),
+        Tcw_guess=jnp.asarray(guess),
+        K=jnp.asarray(w.K.astype(np.float32)),
+        mp_pos=jnp.asarray(pos),
+        mp_desc=jnp.asarray(dsc),
+        mp_max_dist=jnp.asarray(maxd),
+        mp_valid=jnp.asarray(ok),
+    )
+
+
 def example_track_inputs(
     hw: tuple[int, int] = (480, 752), n_map_points: int = 2048, seed: int = 0
 ) -> TrackInputs:
