@@ -41,16 +41,23 @@ def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
     """[H,W] f32 -> [H,W] f32 max-threshold corner score.
 
     score > t  iff  pixel passes the FAST-9 segment test at threshold t.
+
+    The 256-op min/max chain runs in bfloat16: pyramid levels are
+    integral intensities (build_pyramid rounds, mirroring the
+    reference's u8 chain), whose differences are integers |d| <= 255 —
+    exact in bf16 — so the returned f32 score is bit-identical to an
+    all-f32 evaluation at half the VPU/memory traffic.
     """
-    img = img.astype(jnp.float32)
+    img = img.astype(jnp.bfloat16)
     h, w = img.shape
     pad = jnp.pad(img, 3, mode="edge")
     diffs = [
         jax.lax.dynamic_slice(pad, (3 + dy, 3 + dx), (h, w)) - img
         for (dx, dy) in CIRCLE
     ]
-    bright = jnp.full((h, w), -jnp.inf, jnp.float32)
-    dark = jnp.full((h, w), -jnp.inf, jnp.float32)
+    ninf = jnp.asarray(-jnp.inf, jnp.bfloat16)
+    bright = jnp.full((h, w), ninf)
+    dark = jnp.full((h, w), ninf)
     for s in range(16):
         bmin = diffs[s % 16]
         dmin = -diffs[s % 16]
@@ -60,7 +67,7 @@ def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
             dmin = jnp.minimum(dmin, -d)
         bright = jnp.maximum(bright, bmin)
         dark = jnp.maximum(dark, dmin)
-    return jnp.maximum(bright, dark)
+    return jnp.maximum(bright, dark).astype(jnp.float32)
 
 
 def _maxpool3(score: jnp.ndarray) -> jnp.ndarray:

@@ -89,5 +89,8 @@ def build_pyramid(
     shapes = level_shapes(h, w, n_levels, scale)
     levels = [img]
     for l in range(1, n_levels):
-        levels.append(resize_bilinear(levels[-1], shapes[l]))
+        # round to integral intensities: the reference's chain resizes
+        # u8 -> u8 (cv::resize on CV_8U), and integral levels are exact
+        # in bfloat16 for the FAST score chain
+        levels.append(jnp.round(resize_bilinear(levels[-1], shapes[l])))
     return levels
