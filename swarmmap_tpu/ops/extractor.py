@@ -127,7 +127,10 @@ def extract_orb(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_features", "n_levels", "scale", "th_high", "th_low"),
+    static_argnames=(
+        "n_features", "n_levels", "scale", "th_high", "th_low", "desc_mode",
+        "desc_pattern",
+    ),
 )
 def extract_orb_batched(
     images: jnp.ndarray,
@@ -136,6 +139,8 @@ def extract_orb_batched(
     scale: float = 1.2,
     th_high: float = 20.0,
     th_low: float = 7.0,
+    desc_mode: str = "binned",
+    desc_pattern: str | None = None,
 ) -> FrameFeatures:
     """[A,H,W] -> FrameFeatures with leading agent axis — the combined
     mode's N per-agent extractions as ONE device program (SURVEY.md §2.10
@@ -143,6 +148,7 @@ def extract_orb_batched(
     fn = functools.partial(
         extract_orb, n_features=n_features, n_levels=n_levels,
         scale=scale, th_high=th_high, th_low=th_low,
+        desc_mode=desc_mode, desc_pattern=desc_pattern,
     )
     return jax.vmap(fn)(images)
 
