@@ -51,6 +51,13 @@ def _object_hook(obj):
     return obj
 
 
+def _looks_like_msgpack_slice(data: bytes) -> bool:
+    """Our slices pack as a msgpack map (first byte 0x80-0x8f / 0xde/df);
+    reference .bin map files (boost binary, no_header) start with the
+    Map* class-id int16 = 00 00."""
+    return bool(data) and (0x80 <= data[0] <= 0x8F or data[0] in (0xDE, 0xDF))
+
+
 def pack(obj: Any) -> bytes:
     return msgpack.packb(obj, default=_default, use_bin_type=True)
 
@@ -90,6 +97,14 @@ def decode_slice(data: bytes) -> MapSlice:
         from . import boost_text
 
         return boost_text.decode_slice(data)
+    if not _looks_like_msgpack_slice(data):
+        # reference map-*.bin checkpoint (boost binary archive with
+        # no_header; System::SaveMap) — import as a full slice
+        from . import boost_bin
+
+        kfs, mps, _inv, _maxid = boost_bin.decode_map_bin(data)
+        mid = kfs[0]["gid"] // 10**6 if kfs else 0
+        return MapSlice(map_id=mid, kfs=kfs, mps=mps, updates=[], twl=None)
     d = unpack(data)
     assert d["v"] == WIRE_VERSION, f"wire version mismatch: {d['v']}"
     kfs = [{k: _fix_tuple(k, v) for k, v in p.items()} for p in d["kfs"]]

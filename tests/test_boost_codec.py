@@ -164,3 +164,46 @@ def test_map_slice_applies_to_store():
     m = st.mp_by_gid[2000000]
     # the SetWorldPos update record was applied after insertion
     np.testing.assert_allclose(st.mp_pos[m], [1.0, 2.0, 3.0])
+
+
+def test_binary_map_file_roundtrip():
+    """The .bin map-file codec (boost binary archives, System::SaveMap
+    layout): pointer aliasing between the element sets and the allMPs /
+    allKFs maps must resolve through object tracking."""
+    from swarmmap_tpu.sync import boost_bin as bb
+
+    sl = _toy_slice()
+    inv = [[1000000], [], [1000000]]
+    data = bb.encode_map_bin(sl.kfs, sl.mps, inverted_file=inv)
+    kfs, mps, inverted, max_id = bb.decode_map_bin(data)
+    assert len(kfs) == 1 and len(mps) == 1
+    assert max_id == 1000000
+    np.testing.assert_allclose(kfs[0]["pose_cw"], np.eye(4))
+    np.testing.assert_array_equal(kfs[0]["desc"], sl.kfs[0]["desc"])
+    np.testing.assert_allclose(mps[0]["pos"], [1.0, -2.0, 5.0])
+    assert mps[0]["obs"] == {1000000: 0}
+    assert inverted == inv
+    # the aliased second occurrences added no second body: the stream is
+    # much smaller than two full bodies
+    single = bb.encode_map_bin(sl.kfs, sl.mps)
+    assert len(single) < 1.5 * len(bb.encode_map_bin(sl.kfs, []))
+
+
+def test_reference_bin_map_loads_through_codec():
+    """codec.decode_slice sniffs a reference .bin map file and imports it
+    as a full MapSlice applyable to a store."""
+    from swarmmap_tpu.core.map_store import MapStore
+    from swarmmap_tpu.sync import boost_bin as bb
+    from swarmmap_tpu.sync import codec
+    from swarmmap_tpu.sync.oplog import Mapit
+
+    sl = _toy_slice()
+    data = bb.encode_map_bin(sl.kfs, sl.mps)
+    back = codec.decode_slice(data)
+    assert back.map_id == 1 and len(back.kfs) == 1 and len(back.mps) == 1
+    st = MapStore(map_id=1, n_kp=16, is_server=True)
+    Mapit(st).apply_slice(back)
+    assert len(st.kf_by_gid) == 1 and len(st.mp_by_gid) == 1
+    # our own msgpack slices still decode through the same entry
+    own = codec.decode_slice(codec.encode_slice(sl))
+    assert own.kfs[0]["gid"] == 1000000
