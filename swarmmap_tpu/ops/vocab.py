@@ -345,7 +345,7 @@ _default_vocab: Vocabulary | None = None
 # shipped vocabulary: 10^4 words (k=10, L=4) trained on real ORB
 # descriptors extracted from rendered synthetic worlds
 # (tools/train_vocab.py) — the stand-in for the reference's ORBvoc.bin
-SHIPPED_VOCAB = Path(__file__).resolve().parents[1] / "data" / "vocab-synth-k10L4.npz"
+SHIPPED_VOCAB = Path(__file__).resolve().parents[1] / "data" / "vocab-synth-k10L5.npz"
 
 
 def default_vocabulary() -> Vocabulary:

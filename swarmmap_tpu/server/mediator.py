@@ -189,7 +189,27 @@ class AgentMediator:
                 segments.append(cur)
         return segments
 
-    def save_map(self, path) -> None:
+    def save_map(self, path, fmt: str = "msgpack") -> None:
+        """Write the replica map checkpoint; fmt="boost-bin" exports the
+        reference's `map-*.bin` binary-archive layout (System::SaveMap)
+        so reference tooling can load maps built here."""
         from pathlib import Path
 
+        if fmt == "boost-bin":
+            from ..sync import boost_bin
+
+            arc = full_archive(self.store)
+            inverted = None
+            if self.kfdb is not None:
+                inv = self.kfdb.inverted  # word id -> kf slots
+                n_words = max(inv.keys(), default=-1) + 1
+                inverted = [
+                    sorted(int(self.store.kf_gid[k]) for k in inv.get(w, ())
+                           if self.store.kf_alive[k])
+                    for w in range(n_words)
+                ]
+            Path(path).write_bytes(
+                boost_bin.encode_map_bin(arc.kfs, arc.mps,
+                                         inverted_file=inverted))
+            return
         Path(path).write_bytes(codec.encode_slice(full_archive(self.store)))

@@ -447,7 +447,10 @@ def _encode_update(w: _Writer, rec) -> bool:
     if rec.func in _TRIGGER_FUNCS:
         w.int_(0)
     elif base == "mat":
-        w.mat(np.asarray(a[0], np.float32), CV_32F)
+        m = np.asarray(a[0], np.float32)
+        if m.ndim == 1:
+            m = m.reshape(-1, 1)  # position vectors ship as 3x1 cv::Mat
+        w.mat(m, CV_32F)
     elif base == "pair":
         first_u64 = schema != "pair_u64_u64b"
         w.begin_value(("pair", schema))

@@ -126,7 +126,7 @@ def _toy_slice():
         cam_velocity=0.0,
     )
     ups = [UpdateRecord(9, "mp", "SetWorldPos", 2000000,
-                        (np.array([[1], [2], [3]], np.float32),))]
+                        (np.array([1, 2, 3], np.float32),))]
     return MapSlice(map_id=1, kfs=[kf], mps=[mp], updates=ups, twl=None)
 
 
@@ -207,3 +207,24 @@ def test_reference_bin_map_loads_through_codec():
     # our own msgpack slices still decode through the same entry
     own = codec.decode_slice(codec.encode_slice(sl))
     assert own.kfs[0]["gid"] == 1000000
+
+
+def test_mediator_boost_bin_export(tmp_path):
+    """AgentMediator.save_map(fmt="boost-bin") writes a reference-layout
+    map file that decode_map_bin reads back."""
+    from swarmmap_tpu.core.map_store import MapStore
+    from swarmmap_tpu.server.mediator import AgentMediator
+    from swarmmap_tpu.server.map_manager import MapManager
+    from swarmmap_tpu.sync import boost_bin as bb
+    from swarmmap_tpu.sync.oplog import Mapit
+    from swarmmap_tpu.ops.vocab import default_vocabulary
+
+    AgentMediator.registry.clear()
+    med = AgentMediator(1, default_vocabulary(), MapManager(), n_kp=16)
+    sl = _toy_slice()
+    Mapit(med.store).apply_slice(sl)
+    out = tmp_path / "map-server-1.bin"
+    med.save_map(out, fmt="boost-bin")
+    kfs, mps, inverted, max_id = bb.decode_map_bin(out.read_bytes())
+    assert len(kfs) == 1 and len(mps) == 1
+    assert kfs[0]["gid"] == 1000000
