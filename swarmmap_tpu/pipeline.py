@@ -84,10 +84,9 @@ def tracking_step(
     # 2x8 LM schedule: one outlier re-gating round; the reference's 4x10
     # is conservative — GN on a good motion-model guess converges in <8
     # (full 4x10 remains the default for relocalization-grade problems).
-    # Ablation: tests/test_pose_opt.py::
-    # test_fused_lm_schedule_matches_reference_schedule shows identical
-    # inlier sets (>95%) and equal pose accuracy under noise + 20%
-    # outliers from motion-model-grade initial guesses.
+    # Ablation: tests/test_pose_opt.py shows 2x8 matches 4x10 exactly on
+    # clean synthetic problems; 2x5 also matches there but DEGRADES the
+    # real pipeline (loop-closing e2e fails: compounding drift) — keep 8.
     res = pose_opt.pose_optimize(
         inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], feats.xy,
         1.0 / sig2, valid, rounds=2, iters=8,
