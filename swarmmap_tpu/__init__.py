@@ -31,3 +31,14 @@ Layer map (mirrors SURVEY.md §1):
 __version__ = "0.1.0"
 
 MAP_BASE = 1_000_000  # global id stride per map (reference: code/include/Map.h:45)
+
+# TPU defaults f32 matmuls to bf16 MXU passes; the geometry stack (Sim3
+# RANSAC, umeyama, triangulation, BA linear algebra) is small-matrix f32
+# math whose conditioning that destroys — e.g. cross-map Sim3 acceptance
+# works on CPU but collapses on TPU under bf16 hypotheses.  Full-f32
+# matmul precision costs nothing measurable here: every throughput-
+# critical matmul (Hamming popcounts, binned BRIEF, one-hot patches)
+# feeds the MXU with explicit bf16/int inputs and is unaffected.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

