@@ -208,14 +208,22 @@ class LocalMapping:
         self._async = False
 
     def process_keyframe(self, k: int):
+        from ..utils.stats import STATS
+
         st = self.store
-        self._process_new_keyframe(k)
-        self._cull_map_points(k)
-        self._create_new_map_points(k)
-        self._fuse_neighbors(k)
+        with STATS.stage("lm_process_new"):
+            self._process_new_keyframe(k)
+        with STATS.stage("lm_cull_mps"):
+            self._cull_map_points(k)
+        with STATS.stage("lm_triangulate"):
+            self._create_new_map_points(k)
+        with STATS.stage("lm_fuse"):
+            self._fuse_neighbors(k)
         if st.kf_alive[: st.n_kf].sum() > 2:
-            self._local_ba(k)
-        self._cull_keyframes(k)
+            with STATS.stage("lm_local_ba"):
+                self._local_ba(k)
+        with STATS.stage("lm_cull_kfs"):
+            self._cull_keyframes(k)
         # hand the KF to the (server-side) loop closer via the map event
         # log (reference: LocalMapping.cc:88-90)
         if st.log_fn is not None:
@@ -362,16 +370,17 @@ class LocalMapping:
         st = self.store
         neighbors = st.covisible_kfs(k, max_targets - 1)
         targets = [k] + neighbors
-        # shared candidate set: union of all targets' points
-        cand: set[int] = set()
-        for tk in targets:
-            mps = st.kf_kp_mp[tk]
-            for m in mps[mps != NO_MP]:
-                if st.mp_alive[m]:
-                    cand.add(int(m))
-        if not cand:
+        # shared candidate set: union of all targets' points (array
+        # gather; dedup keeps the FIRST occurrence so the strongest
+        # targets' points survive the bucket cut)
+        rows = st.kf_kp_mp[np.asarray(targets, np.int32)]
+        flat = rows[rows != NO_MP]
+        uniq, first = np.unique(flat, return_index=True)
+        cand = uniq[np.argsort(first)]
+        cand = cand[st.mp_alive[cand]]
+        if not len(cand):
             return
-        slots = np.fromiter(cand, np.int32)[:cand_bucket]
+        slots = cand[:cand_bucket].astype(np.int32)
         n = len(slots)
         mp_pos = np.zeros((cand_bucket, 3), np.float32)
         mp_desc = np.zeros((cand_bucket, 8), np.uint32)
@@ -436,52 +445,47 @@ class LocalMapping:
         (reference: Optimizer::LocalBundleAdjustment)."""
         st = self.store
         local = [k] + st.covisible_kfs(k, max_cams - 1)
-        local_set = set(local)
-        # local points = union of local KFs' observations
-        pts = []
-        pt_index: dict[int, int] = {}
-        for lk in local:
-            for m in st.kf_kp_mp[lk]:
-                mi = int(m)
-                if mi != NO_MP and st.mp_alive[mi] and mi not in pt_index:
-                    pt_index[mi] = len(pts)
-                    pts.append(mi)
-                    if len(pts) >= max_pts:
-                        break
-        if len(pts) < 20:
+        # local points = union of local KFs' observations (array gather:
+        # the dict-walk version was a wall at 50k observations)
+        rows = st.kf_kp_mp[np.asarray(local, np.int32)]
+        flat = rows[rows != NO_MP]
+        uniq, first = np.unique(flat, return_index=True)
+        pts_arr = uniq[np.argsort(first)]
+        pts_arr = pts_arr[st.mp_alive[pts_arr]][:max_pts].astype(np.int64)
+        if len(pts_arr) < 20:
             return
+        pt_lut = np.full(st.n_mp, -1, np.int32)
+        pt_lut[pts_arr] = np.arange(len(pts_arr), dtype=np.int32)
+        om, okf, okp = st.obs_arrays()
+        in_pts = pt_lut[om] >= 0
         # frontier: KFs observing local points but not in the window (fixed)
-        frontier = []
-        for m in pts:
-            for ok in st.obs.get(m, {}):
-                if ok not in local_set and st.kf_alive[ok]:
-                    frontier.append(ok)
-                    local_set.add(ok)
-        cams = local + frontier
-        cam_index = {c: i for i, c in enumerate(cams)}
+        local_arr = np.asarray(local, np.int64)
+        is_local = np.zeros(st.n_kf, bool)
+        is_local[local_arr] = True
+        obs_kfs = np.unique(okf[in_pts])
+        obs_kfs = obs_kfs[st.kf_alive[obs_kfs]]
+        frontier = obs_kfs[~is_local[obs_kfs]]
+        cams = np.concatenate([local_arr, frontier])
+        cam_lut = np.full(st.n_kf, -1, np.int32)
+        cam_lut[cams] = np.arange(len(cams), dtype=np.int32)
         fixed = np.zeros(len(cams), bool)
         fixed[len(local):] = True
-        if 0 in cam_index:
-            fixed[cam_index[0]] = True  # keep the origin KF as gauge
+        if cam_lut[0] >= 0:
+            fixed[cam_lut[0]] = True  # keep the origin KF as gauge
         elif not fixed.any():
             fixed[len(local) - 1] = True  # no frontier: anchor the oldest
-        obs_cam, obs_pt, obs_uv, obs_is2 = [], [], [], []
-        for m in pts:
-            for kfk, kp in st.obs.get(m, {}).items():
-                if kfk in cam_index and st.kf_alive[kfk]:
-                    obs_cam.append(cam_index[kfk])
-                    obs_pt.append(pt_index[m])
-                    obs_uv.append(st.kf_kp_uv[kfk, kp])
-                    obs_is2.append(
-                        1.0 / self.scale_factor ** (2.0 * st.kf_kp_octave[kfk, kp])
-                    )
-                    if len(obs_cam) >= max_obs:
-                        break
-        if len(obs_cam) < 30:
+        sel = np.where(in_pts & (cam_lut[okf] >= 0) & st.kf_alive[okf])[0][:max_obs]
+        if len(sel) < 30:
             return
+        sel_kf, sel_kp = okf[sel], okp[sel]
+        obs_cam = cam_lut[sel_kf]
+        obs_pt = pt_lut[om[sel]]
+        obs_uv = st.kf_kp_uv[sel_kf, sel_kp]
+        obs_is2 = (1.0 / self.scale_factor
+                   ** (2.0 * st.kf_kp_octave[sel_kf, sel_kp]))
         prob = ba_ops.build_padded_problem(
             st.kf_pose_cw[cams], st.kf_K[cams], fixed,
-            st.mp_pos[pts], obs_cam, obs_pt, obs_uv, obs_is2,
+            st.mp_pos[pts_arr], obs_cam, obs_pt, obs_uv, obs_is2,
         )
         res = ba_ops.bundle_adjust(prob, iters_a=5, iters_b=10, mode="dense")
         Tcw_new, pts_new, obs_inl = fetch(res.Tcw, res.pts, res.obs_inlier)
@@ -489,15 +493,13 @@ class LocalMapping:
         pts_new = np.asarray(pts_new)
         for i, c in enumerate(cams):
             if not fixed[i]:
-                st.set_kf_pose(c, Tcw_new[i])
-        for m, i in pt_index.items():
-            st.set_mp_pos(m, pts_new[i])
+                st.set_kf_pose(int(c), Tcw_new[i])
+        for i, m in enumerate(pts_arr):
+            st.set_mp_pos(int(m), pts_new[i])
         # prune outlier observations (ignore padded tail)
-        inl = np.asarray(obs_inl)[: len(obs_cam)]
+        inl = np.asarray(obs_inl)[: len(sel)]
         for o in np.where(~inl)[0]:
-            m = pts[obs_pt[o]]
-            c = cams[obs_cam[o]]
-            st.erase_observation(m, c)
+            st.erase_observation(int(om[sel[o]]), int(okf[sel[o]]))
 
     def _cull_keyframes(self, k: int):
         """Redundancy culling: a local KF whose points are >=90% seen by

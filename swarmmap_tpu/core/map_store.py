@@ -110,6 +110,20 @@ class MapStore:
 
         # observations: mp slot -> {kf slot: kp idx}
         self.obs: dict[int, dict[int, int]] = {}
+        # array-resident mirror of the observation table: parallel
+        # (mp, kf, kp, alive) rows + per-point observer counts, so BA /
+        # scoring / local-map assembly are numpy gathers instead of dict
+        # walks (reference pays this cost in native C++ setup loops,
+        # Optimizer.cc:436-741; Python must use arrays)
+        obs_cap = 4 * mp_capacity
+        self.obs_n = 0
+        self.obs_mp = np.full(obs_cap, -1, np.int32)
+        self.obs_kf = np.full(obs_cap, -1, np.int32)
+        self.obs_kp = np.zeros(obs_cap, np.int32)
+        self.obs_alive = np.zeros(obs_cap, bool)
+        self._obs_row: dict[tuple[int, int], int] = {}
+        self._obs_dead = 0
+        self.mp_nobs = np.zeros(mp_capacity, np.int32)
         # covisibility: kf slot -> {kf slot: shared count}
         self.covis: dict[int, dict[int, int]] = {}
 
@@ -140,6 +154,60 @@ class MapStore:
         # (drained by Mapit.archive into last-writer SetVisible/SetFound)
         self.dirty_vis: set[int] = set()
         self.dirty_found: set[int] = set()
+
+    # -- observation-table rows ----------------------------------------------
+    def _obs_add_row(self, m: int, k: int, kp: int):
+        row = self._obs_row.get((m, k))
+        if row is not None:
+            self.obs_kp[row] = kp
+            return
+        if self.obs_n >= len(self.obs_mp):
+            if self._obs_dead * 2 > self.obs_n:
+                self._obs_compact()
+            else:
+                for name in ("obs_mp", "obs_kf", "obs_kp", "obs_alive"):
+                    setattr(self, name,
+                            _grow(getattr(self, name), 2 * len(self.obs_mp)))
+                self.obs_mp[self.obs_n:] = -1
+                self.obs_kf[self.obs_n:] = -1
+        row = self.obs_n
+        self.obs_n += 1
+        self.obs_mp[row] = m
+        self.obs_kf[row] = k
+        self.obs_kp[row] = kp
+        self.obs_alive[row] = True
+        self._obs_row[(m, k)] = row
+        self.mp_nobs[m] += 1
+
+    def _obs_del_row(self, m: int, k: int):
+        row = self._obs_row.pop((m, k), None)
+        if row is not None:
+            self.obs_alive[row] = False
+            self.mp_nobs[m] -= 1
+            self._obs_dead += 1
+
+    def _obs_compact(self):
+        """Drop dead rows in place (amortized; keeps gathers dense)."""
+        n = self.obs_n
+        keep = np.where(self.obs_alive[:n])[0]
+        m = len(keep)
+        self.obs_mp[:m] = self.obs_mp[keep]
+        self.obs_kf[:m] = self.obs_kf[keep]
+        self.obs_kp[:m] = self.obs_kp[keep]
+        self.obs_alive[:m] = True
+        self.obs_alive[m:n] = False
+        self.obs_n = m
+        self._obs_dead = 0
+        self._obs_row = {
+            (int(self.obs_mp[r]), int(self.obs_kf[r])): r for r in range(m)
+        }
+
+    def obs_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Live observation rows as (mp, kf, kp) arrays — the batch
+        interface for BA assembly, scoring, and local-map collection."""
+        n = self.obs_n
+        a = self.obs_alive[:n]
+        return self.obs_mp[:n][a], self.obs_kf[:n][a], self.obs_kp[:n][a]
 
     # -- logging hook --------------------------------------------------------
     def _emit(self, kind: str, func: str, gid: int, args: tuple, log: bool):
@@ -172,7 +240,8 @@ class MapStore:
         for name in (
             "mp_pos mp_normal mp_min_dist mp_max_dist mp_desc mp_alive mp_gid "
             "mp_ref_kf mp_first_kf mp_visible mp_found mp_created "
-            "mp_last_tracked mp_update_count mp_cam_velocity mp_to_serialize"
+            "mp_last_tracked mp_update_count mp_cam_velocity mp_to_serialize "
+            "mp_nobs"
         ).split():
             setattr(self, name, _grow(getattr(self, name), cap))
         self.mp_gid[self.n_mp :] = -1
@@ -337,8 +406,10 @@ class MapStore:
         if old_mp != NO_MP and old_mp != m and k in self.obs.get(old_mp, {}):
             self._update_covis_pair(int(old_mp), k, -1)
             self.obs[old_mp].pop(k, None)
+            self._obs_del_row(int(old_mp), k)
             self.dirty_mps.add(int(old_mp))
         self.obs[m][k] = kp_idx
+        self._obs_add_row(m, k, kp_idx)
         self.kf_kp_mp[k, kp_idx] = m
         if prev is None:
             self._update_covis_pair(m, k, +1)
@@ -355,6 +426,7 @@ class MapStore:
         if m not in self.obs or k not in self.obs[m]:
             return
         kp_idx = self.obs[m].pop(k)
+        self._obs_del_row(m, k)
         if self.kf_kp_mp[k, kp_idx] == m:
             self.kf_kp_mp[k, kp_idx] = NO_MP
         self._update_covis_pair(m, k, -1)
@@ -371,6 +443,7 @@ class MapStore:
             if self.kf_kp_mp[k, kp_idx] == m:
                 self.kf_kp_mp[k, kp_idx] = NO_MP
             self._update_covis_pair(m, k, -1)
+            self._obs_del_row(m, k)
         self.obs[m] = {}
         self.mp_alive[m] = False
         self._emit("mp", "SetBadFlag", int(self.mp_gid[m]), (), log)
@@ -381,12 +454,14 @@ class MapStore:
             return
         for k, kp_idx in list(self.obs.get(m_old, {}).items()):
             self._update_covis_pair(m_old, k, -1)
+            self._obs_del_row(m_old, k)
             if k in self.obs.get(m_new, {}):
                 # new point already seen by this KF: drop the old obs
                 if self.kf_kp_mp[k, kp_idx] == m_old:
                     self.kf_kp_mp[k, kp_idx] = NO_MP
             else:
                 self.obs.setdefault(m_new, {})[k] = kp_idx
+                self._obs_add_row(m_new, k, kp_idx)
                 self.kf_kp_mp[k, kp_idx] = m_new
                 self._update_covis_pair(m_new, k, +1)
         self.mp_found[m_new] += self.mp_found[m_old]
@@ -488,15 +563,16 @@ class MapStore:
         the single best neighbor when none reaches it — which is what
         this returns.
         """
-        counts: dict[int, int] = {}
         row = self.kf_kp_mp[k]
-        for m in np.unique(row[row != NO_MP]):
-            m = int(m)
-            if not self.mp_alive[m]:
-                continue
-            for k2 in self.obs.get(m, {}):
-                if k2 != k and self.kf_alive[k2]:
-                    counts[k2] = counts.get(k2, 0) + 1
+        mm = np.unique(row[row != NO_MP])
+        mm = mm[self.mp_alive[mm]]
+        in_set = np.zeros(len(self.mp_alive), bool)
+        in_set[mm] = True
+        om, okf, _ = self.obs_arrays()
+        sel = in_set[om] & (okf != k) & self.kf_alive[okf]
+        binc = np.bincount(okf[sel], minlength=self.n_kf)
+        nz = np.nonzero(binc)[0]
+        counts: dict[int, int] = {int(k2): int(binc[k2]) for k2 in nz}
         # symmetric repair of the row (fixes any incremental drift)
         old = self.covis.get(k, {})
         for k2 in set(old) - set(counts):
@@ -575,11 +651,10 @@ class MapStore:
 
     def kf_tracked_points(self, k: int, min_obs: int = 1) -> int:
         mps = self.kf_kp_mp[k]
-        cnt = 0
-        for m in mps[mps != NO_MP]:
-            if self.mp_alive[m] and len(self.obs.get(int(m), {})) >= min_obs:
-                cnt += 1
-        return cnt
+        mm = mps[mps != NO_MP]
+        return int(np.count_nonzero(
+            self.mp_alive[mm] & (self.mp_nobs[mm] >= min_obs)
+        ))
 
     # -- global (world) coordinates ------------------------------------------------------
     def check_transform(self, s: float) -> bool:

@@ -243,16 +243,14 @@ class LoopClosing:
         LoopClosing.cc:552-576; loop point set :330-340)."""
         st = self.store
         loop_side = [loop_kf] + st.covisible_kfs(loop_kf, 10)
-        cand: set[int] = set()
-        for lk in loop_side:
-            mps = st.kf_kp_mp[lk]
-            for m in mps[mps != NO_MP]:
-                if st.mp_alive[m]:
-                    cand.add(int(m))
+        rows = st.kf_kp_mp[np.asarray(loop_side, np.int32)]
+        flat = rows[rows != NO_MP]
+        uniq = np.unique(flat)
+        uniq = uniq[st.mp_alive[uniq]]
         targets = [k] + st.covisible_kfs(k, max_targets - 1)
-        if not cand or not targets:
+        if not len(uniq) or not targets:
             return 0
-        slots = np.fromiter(cand, np.int32)[:cand_bucket]
+        slots = uniq[:cand_bucket].astype(np.int32)
         n = len(slots)
         mp_pos = np.zeros((cand_bucket, 3), np.float32)
         mp_desc = np.zeros((cand_bucket, 8), np.uint32)
@@ -333,18 +331,18 @@ class LoopClosing:
         mps = st.alive_mp_slots()
         if len(kfs) < 3 or len(mps) < 50:
             return
-        cam_index = {int(kk): i for i, kk in enumerate(kfs)}
-        pt_index = {int(m): i for i, m in enumerate(mps)}
-        obs_cam, obs_pt, obs_uv, obs_is2 = [], [], [], []
-        for m in mps:
-            for kk, kp in st.obs.get(int(m), {}).items():
-                ci = cam_index.get(kk)
-                if ci is None:
-                    continue
-                obs_cam.append(ci)
-                obs_pt.append(pt_index[int(m)])
-                obs_uv.append(st.kf_kp_uv[kk, kp])
-                obs_is2.append(1.0 / self.scale_factor ** (2.0 * st.kf_kp_octave[kk, kp]))
+        cam_lut = np.full(st.n_kf, -1, np.int32)
+        cam_lut[kfs] = np.arange(len(kfs), dtype=np.int32)
+        pt_lut = np.full(st.n_mp, -1, np.int32)
+        pt_lut[mps] = np.arange(len(mps), dtype=np.int32)
+        om, okf, okp = st.obs_arrays()
+        sel = (pt_lut[om] >= 0) & (cam_lut[okf] >= 0)
+        sel_kf, sel_kp = okf[sel], okp[sel]
+        obs_cam = cam_lut[sel_kf]
+        obs_pt = pt_lut[om[sel]]
+        obs_uv = st.kf_kp_uv[sel_kf, sel_kp]
+        obs_is2 = (1.0 / self.scale_factor
+                   ** (2.0 * st.kf_kp_octave[sel_kf, sel_kp]))
         if len(obs_cam) < 100:
             return
         fixed = np.zeros(len(kfs), bool)
@@ -372,5 +370,5 @@ class LoopClosing:
         for i, kk in enumerate(kfs):
             if not fixed[i]:
                 st.set_kf_pose(int(kk), Tn[i])
-        for m, i in pt_index.items():
-            st.set_mp_pos(m, pn[i])
+        for i, m in enumerate(mps):
+            st.set_mp_pos(int(m), pn[i])

@@ -23,6 +23,7 @@ from .sync import codec
 from .sync.oplog import Mapit
 from .utils.config import Settings
 from .utils.logging import get_logger
+from .utils.stats import STATS
 
 _log = get_logger("swarm")
 
@@ -133,12 +134,13 @@ class Swarm:
 
         # 1. the fused cohort: agents in steady state with a motion model
         fused: list[tuple[int, object, np.ndarray]] = []  # (live idx, inputs, slots)
-        for i, (a, img) in enumerate(live):
-            tr = a.system.tracking
-            if tr.fused_eligible() and img.shape == live[0][1].shape:
-                prep = tr.prepare_fused(img)
-                if prep is not None:
-                    fused.append((i, prep[0], prep[1]))
+        with STATS.stage("prepare"):
+            for i, (a, img) in enumerate(live):
+                tr = a.system.tracking
+                if tr.fused_eligible() and img.shape == live[0][1].shape:
+                    prep = tr.prepare_fused(img)
+                    if prep is not None:
+                        fused.append((i, prep[0], prep[1]))
         if len(fused) > 1:
             self._step_fused_cohort(live, fused, ts)
             for i, _, _ in fused:
@@ -167,9 +169,10 @@ class Swarm:
                 feats_per_agent[i] = ex.FrameFeatures(
                     *(leaf[j] for leaf in batch)
                 )
-        for i, (agent, img) in enumerate(live):
-            if not handled[i]:
-                agent.track(img, ts, features=feats_per_agent[i])
+        with STATS.stage("staged_track"):
+            for i, (agent, img) in enumerate(live):
+                if not handled[i]:
+                    agent.track(img, ts, features=feats_per_agent[i])
         self.frame_count += 1
         if self.frame_count % self.config.report_every == 0:
             for agent in self.agents:
@@ -177,7 +180,8 @@ class Swarm:
                     agent.agent_id, agent.system.get_system_state()
                 )
         if self.frame_count % self.config.push_every == 0:
-            self.sync()
+            with STATS.stage("sync"):
+                self.sync()
 
     def _step_fused_cohort(self, live, fused, ts: float):
         """Run all steady-state agents' frames as ONE device dispatch +
@@ -188,31 +192,36 @@ class Swarm:
 
         orb = self.settings.orb
         hw = tuple(live[fused[0][0]][1].shape[:2])
-        inputs = pipeline.TrackInputs(
-            *(jnp.asarray(np.stack([getattr(inp, f) for _, inp, _ in fused]))
-              for f in pipeline.TrackInputs._fields)
-        )
-        out = pipeline.batched_tracking_step(
-            inputs, n_features=orb.n_features, n_levels=orb.n_levels,
-            scale=orb.scale_factor, hw=hw,
-            window_th=self.agents[0].system.tracking.p.fused_window_th,
-        )
+        with STATS.stage("h2d"):
+            inputs = pipeline.TrackInputs(
+                *(jnp.asarray(np.stack([getattr(inp, f) for _, inp, _ in fused]))
+                  for f in pipeline.TrackInputs._fields)
+            )
+        with STATS.stage("dispatch"):
+            STATS.bump("rpc_dispatch")
+            out = pipeline.batched_tracking_step(
+                inputs, n_features=orb.n_features, n_levels=orb.n_levels,
+                scale=orb.scale_factor, hw=hw,
+                window_th=self.agents[0].system.tracking.p.fused_window_th,
+            )
         feats = out.features
         from .utils.device import fetch
 
-        fetched = fetch(
-            out.Tcw, out.n_inliers, out.match_mp, feats.xy, feats.octave,
-            feats.angle, feats.response, feats.desc, feats.valid,
-        )
-        fetched = [np.asarray(x) for x in fetched]
+        with STATS.stage("fetch"):
+            fetched = fetch(
+                out.Tcw, out.n_inliers, out.match_mp, feats.xy, feats.octave,
+                feats.angle, feats.response, feats.desc, feats.valid,
+            )
+            fetched = [np.asarray(x) for x in fetched]
         self.fused_cohort_dispatches += 1
-        for j, (i, _inp, slots) in enumerate(fused):
-            agent, img = live[i]
-            tr = agent.system.tracking
-            frame = tr.commit_fused(img, ts, slots, *(x[j] for x in fetched))
-            pose = tr.finish_frame(frame, ts)
-            if pose is not None:
-                agent.frames_tracked += 1
+        with STATS.stage("commit"):
+            for j, (i, _inp, slots) in enumerate(fused):
+                agent, img = live[i]
+                tr = agent.system.tracking
+                frame = tr.commit_fused(img, ts, slots, *(x[j] for x in fetched))
+                pose = tr.finish_frame(frame, ts)
+                if pose is not None:
+                    agent.frames_tracked += 1
 
     def sync(self):
         """Push all agents' deltas, run the scheduler, deliver replies."""

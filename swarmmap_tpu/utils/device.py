@@ -11,12 +11,24 @@ from __future__ import annotations
 import jax
 import numpy as np
 
+from .stats import STATS
+
 
 def fetch(*arrays):
     """Transfer any number of device arrays (or pytrees) to host numpy in
     ONE batched round trip.  Returns a tuple matching the inputs (or the
     single object if one argument)."""
+    STATS.bump("rpc_fetch")
     out = jax.device_get(arrays if len(arrays) > 1 else arrays[0])
+    return out
+
+
+def upload(*arrays):
+    """Host->device transfer with accounting: one logical upload event
+    (jax batches the device_put of a tree into one transfer program).
+    Returns a tuple matching the inputs (or the single array)."""
+    STATS.bump("rpc_h2d")
+    out = jax.device_put(arrays if len(arrays) > 1 else arrays[0])
     return out
 
 
