@@ -29,7 +29,17 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=120, help="synthetic frame count")
     p.add_argument("--features", type=int, default=0,
                    help="override ORBextractor.nFeatures")
+    p.add_argument("--wire", default=None, choices=["msgpack", "boost-text"],
+                   help="outbound wire format (boost-text = reference-"
+                        "compatible archives; decode auto-sniffs both)")
     return p
+
+
+def apply_wire(args):
+    if getattr(args, "wire", None):
+        from ..sync import codec
+
+        codec.set_wire_mode(args.wire)
 
 
 def load_vocab(path: str) -> Vocabulary:

@@ -15,7 +15,7 @@ from pathlib import Path
 from ..net.client_service import ClientService
 from ..swarm import SwarmAgent
 from ..utils.logging import get_logger
-from .common import base_parser, load_vocab, load_world
+from .common import apply_wire, base_parser, load_vocab, load_world
 
 _log = get_logger("swarm_client")
 
@@ -29,6 +29,7 @@ def main(argv=None):
     p.add_argument("--realtime", action="store_true",
                    help="pace frames at the camera fps")
     args = p.parse_args(argv)
+    apply_wire(args)
 
     settings, seqs = load_world(args, args.agent + 1)
     seq = seqs[min(args.agent, len(seqs) - 1)]

@@ -12,7 +12,7 @@ from pathlib import Path
 from ..swarm import Swarm, SwarmConfig
 from ..utils.logging import get_logger
 from ..utils.profiling import maybe_trace, named_range
-from .common import base_parser, load_vocab, load_world
+from .common import apply_wire, base_parser, load_vocab, load_world
 
 _log = get_logger("swarm_map")
 
@@ -21,6 +21,7 @@ def main(argv=None):
     p = base_parser("swarmmap-tpu combined multi-agent SLAM")
     p.add_argument("-c", "--clients", type=int, default=1)
     args = p.parse_args(argv)
+    apply_wire(args)
 
     settings, seqs = load_world(args, args.clients)
     vocab = load_vocab(args.voc)

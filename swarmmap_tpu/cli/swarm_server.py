@@ -18,7 +18,7 @@ from ..server.mediator import AgentMediator
 from ..server.scheduler import MediatorScheduler
 from ..utils.config import DatasetConfig
 from ..utils.logging import get_logger
-from .common import base_parser, load_vocab
+from .common import apply_wire, base_parser, load_vocab
 
 _log = get_logger("swarm_server")
 
@@ -76,6 +76,7 @@ def main(argv=None):
     p.add_argument("--runtime", type=float, default=0.0,
                    help="seconds to run (0 = until SIGINT)")
     args = p.parse_args(argv)
+    apply_wire(args)
     port = args.port
     if not port and args.dataset:
         port = DatasetConfig.load(args.dataset).port

@@ -31,7 +31,7 @@ class ClientService:
             self.host, dispatch_port,
             Request(src=-1, dst=0, path="Register", body=b""),
         )
-        new_id, data_port = codec.unpack(reply.body)
+        new_id, data_port = codec.decode_register_reply(reply.body)
         self.agent.system.store.set_map_id(new_id)
         self.agent.agent_id = new_id
         _log.info("registered: id=%d data_port=%d", new_id, data_port)

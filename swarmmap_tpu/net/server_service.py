@@ -75,7 +75,7 @@ class DispatchService:
             self._next_id += 1
         svc = self.make_mediator(agent_id)
         reply(Request(src=0, dst=agent_id, path="Register",
-                      body=codec.pack([agent_id, svc.port])))
+                      body=codec.encode_register_reply(agent_id, svc.port)))
         _log.info("dispatched id=%d port=%d", agent_id, svc.port)
 
     def stop(self):

@@ -2,15 +2,18 @@
 
 Reference counterpart: BoostArchiver.h + MapUpdater::Serialize — the
 reference ships boost TEXT archives over websockets (MapUpdater.cc:196).
-This rebuild uses a compact msgpack binary layout (numpy arrays as
-dtype/shape/bytes triples), which is both the wire format and the map
-file format.  Boost-text bit-compatibility for interop with reference
-binaries is tracked in PARITY.md — it matters only when mixing reference
-and rebuild processes in one swarm.
+This rebuild defaults to a compact msgpack binary layout (numpy arrays
+as dtype/shape/bytes triples), which is both the wire format and the map
+file format.  For mixed swarms (rebuild client <-> reference server or
+vice versa) the OUTBOUND wire can be switched to the reference's boost
+text-archive grammar with ``SWARMMAP_WIRE=boost-text`` (or
+``set_wire_mode``); decoders auto-sniff both formats either way, so a
+mixed deployment only needs the flag on the rebuild side.
 """
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import msgpack
@@ -19,6 +22,25 @@ import numpy as np
 from .oplog import MapSlice, UpdateRecord
 
 WIRE_VERSION = 1
+
+_WIRE_MODES = ("msgpack", "boost-text")
+_wire_mode = os.environ.get("SWARMMAP_WIRE", "msgpack")
+if _wire_mode not in _WIRE_MODES:  # pragma: no cover - config error
+    raise ValueError(f"SWARMMAP_WIRE must be one of {_WIRE_MODES}")
+
+
+def set_wire_mode(mode: str):
+    """Select the outbound wire format ('msgpack' | 'boost-text').
+    Reference interop: ClientService.cc:113-172 + MapUpdater.cc:192-230
+    always speak boost text; decode auto-sniffs, so only encode switches."""
+    global _wire_mode
+    if mode not in _WIRE_MODES:
+        raise ValueError(f"wire mode must be one of {_WIRE_MODES}")
+    _wire_mode = mode
+
+
+def wire_mode() -> str:
+    return _wire_mode
 
 
 # --------------------------------------------------------------------------
@@ -81,6 +103,10 @@ def _update_from_wire(x: list) -> UpdateRecord:
 
 
 def encode_slice(sl: MapSlice) -> bytes:
+    if _wire_mode == "boost-text":
+        from . import boost_text
+
+        return boost_text.encode_slice(sl)
     return pack({
         "v": WIRE_VERSION,
         "map_id": sl.map_id,
@@ -133,6 +159,10 @@ class Request:
     body: bytes
 
     def encode(self) -> bytes:
+        if _wire_mode == "boost-text":
+            from . import boost_text
+
+            return boost_text.encode_request(self)
         return pack([self.src, self.dst, self.path, self.body])
 
     @classmethod
@@ -146,8 +176,30 @@ class Request:
         return cls(src=src, dst=dst, path=path, body=body)
 
 
+def encode_register_reply(agent_id: int, port: int) -> bytes:
+    """Dispatch reply body.  Reference grammar is the literal text
+    "id port" (server.cc DispatchId; parsed at ClientService.cc:113-172)
+    — used verbatim in boost-text mode."""
+    if _wire_mode == "boost-text":
+        return f"{agent_id} {port}".encode()
+    return pack([agent_id, port])
+
+
+def decode_register_reply(body: bytes) -> tuple[int, int]:
+    try:
+        a, p = body.split()
+        return int(a), int(p)
+    except ValueError:
+        a, p = unpack(body)
+        return int(a), int(p)
+
+
 def encode_state(state) -> bytes:
     """SystemState (core.tracking.SystemState) -> bytes."""
+    if _wire_mode == "boost-text":
+        from . import boost_text
+
+        return boost_text.encode_state(state)
     return pack([
         np.asarray(state.location, np.float32),
         bool(state.velocity_burst),

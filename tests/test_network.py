@@ -51,9 +51,21 @@ def test_ws_round_trip_and_broadcast():
     server.stop()
 
 
-def test_dispatch_and_push_flow():
+@pytest.fixture(params=["msgpack", "boost-text"])
+def wire_mode(request):
+    """Run the full network flow in both outbound wire formats
+    (boost-text = the reference's archive grammar, BoostArchiver.h)."""
+    from swarmmap_tpu.sync import codec as codec_mod
+
+    codec_mod.set_wire_mode(request.param)
+    yield request.param
+    codec_mod.set_wire_mode("msgpack")
+
+
+def test_dispatch_and_push_flow(wire_mode):
     """Full standalone flow on loopback: register -> connect -> push ->
-    server applies -> distribute -> client applies."""
+    server applies -> distribute -> client applies — in BOTH wire modes
+    (reference interop: ClientService.cc:113-172, MapUpdater.cc:192-230)."""
     from swarmmap_tpu.ops.vocab import default_vocabulary
     from swarmmap_tpu.server.map_manager import MapManager
     from swarmmap_tpu.server.mediator import AgentMediator
@@ -134,3 +146,22 @@ def test_dispatch_and_push_flow():
     dispatch.stop()
     for s in services.values():
         s.stop()
+
+
+def test_wire_mode_grammar(wire_mode):
+    """Outbound payloads must carry the selected grammar; decode
+    auto-sniffs either (mixed-swarm interop)."""
+    from swarmmap_tpu.core.tracking import SystemState
+    from swarmmap_tpu.sync import codec
+
+    data = Request(1, 0, "PushMap", b"xx").encode()
+    r = Request.decode(data)
+    assert (r.src, r.dst, r.path, r.body) == (1, 0, "PushMap", b"xx")
+    st = SystemState(location=np.zeros(3, np.float32), velocity_burst=False,
+                     stable=True, n_tracked=42, lost_count=0)
+    sdata = codec.encode_state(st)
+    if wire_mode == "boost-text":
+        assert data.startswith(b"22 serialization::archive")
+        assert sdata.startswith(b"22 serialization::archive")
+    back = codec.decode_state(sdata)
+    assert back.n_tracked == 42 and back.stable
