@@ -30,8 +30,11 @@ class Server:
         self.n_kp = n_kp
         AgentMediator.registry.clear()
         self.map_manager = MapManager()
+        # standalone server: free-running worker + detached-thread GBA,
+        # like the reference (LoopClosing.cc:602)
         self.scheduler = MediatorScheduler(
-            self.map_manager, distribute_fn=self._distribute
+            self.map_manager, distribute_fn=self._distribute,
+            background_gba=True,
         )
         self.services: dict[int, ServerService] = {}
         self.data_port_base = data_port_base

@@ -167,18 +167,19 @@ class Tracking:
         not an arbitrary slot-id prefix."""
         st = self.store
         lf = self.last_frame
-        seed = [int(m) for m in lf.mp[lf.mp != NO_MP] if st.mp_alive[m]]
-        if not seed:
+        seed_raw = lf.mp[lf.mp != NO_MP]
+        seed_arr = np.unique(seed_raw[st.mp_alive[seed_raw]]).astype(np.int64)
+        if not len(seed_arr):
             return np.zeros(0, np.int32)
-        counts: dict[int, int] = {}
-        for m in seed:
-            for k in st.obs.get(m, {}):
-                if st.kf_alive[k]:
-                    counts[k] = counts.get(k, 0) + 1
-        local_kfs = sorted(counts, key=counts.get, reverse=True)[:60]
-        seed_arr = np.unique(np.asarray(seed, np.int64))
+        in_seed = np.zeros(len(st.mp_alive), bool)
+        in_seed[seed_arr] = True
+        om, okf, _ = st.obs_arrays()
+        sel = in_seed[om] & st.kf_alive[okf]
+        binc = np.bincount(okf[sel], minlength=st.n_kf)
+        order = np.argsort(-binc, kind="stable")
+        local_kfs = order[binc[order] > 0][:60].tolist()
         if local_kfs:
-            self.ref_kf = local_kfs[0]
+            self.ref_kf = int(local_kfs[0])
             # rows in covisibility-weight order; dedup keeps the FIRST
             # occurrence so the strongest keyframes' points survive the
             # bucket cut
@@ -635,31 +636,33 @@ class Tracking:
     def _track_local_map(self, frame: Frame) -> bool:
         st = self.store
         # local keyframes: observers of current points + their neighbors
-        counts: dict[int, int] = {}
-        for m in frame.mp[frame.mp != NO_MP]:
-            for k in st.obs.get(int(m), {}):
-                if st.kf_alive[k]:
-                    counts[k] = counts.get(k, 0) + 1
-        if not counts:
+        cur = frame.mp[frame.mp != NO_MP]
+        cur = np.unique(cur[st.mp_alive[cur]]).astype(np.int64)
+        if not len(cur):
             return False
-        local_kfs = sorted(counts, key=counts.get, reverse=True)[:80]
-        self.ref_kf = local_kfs[0]
+        in_cur = np.zeros(len(st.mp_alive), bool)
+        in_cur[cur] = True
+        om, okf, _ = st.obs_arrays()
+        sel = in_cur[om] & st.kf_alive[okf]
+        binc = np.bincount(okf[sel], minlength=st.n_kf)
+        order = np.argsort(-binc, kind="stable")
+        local_kfs = order[binc[order] > 0][:80].tolist()
+        if not local_kfs:
+            return False
+        counts = {int(k): int(binc[k]) for k in local_kfs}
+        self.ref_kf = int(local_kfs[0])
         for k in list(local_kfs[:10]):
-            for k2 in st.covisible_kfs(k, 10):
+            for k2 in st.covisible_kfs(int(k), 10):
                 if k2 not in counts:
                     local_kfs.append(k2)
                     counts[k2] = 0
-        # local points
-        seen = set(int(m) for m in frame.mp[frame.mp != NO_MP])
-        local_mps = []
-        for k in local_kfs:
-            for m in st.kf_kp_mp[k]:
-                mi = int(m)
-                if mi != NO_MP and mi not in seen and st.mp_alive[mi]:
-                    seen.add(mi)
-                    local_mps.append(mi)
-                    if len(local_mps) >= self.p.max_local_mps:
-                        break
+        # local points: union of local KFs' rows minus the current set
+        rows = st.kf_kp_mp[np.asarray(local_kfs, np.int32)]
+        flat = rows[rows != NO_MP]
+        uniq, first = np.unique(flat, return_index=True)
+        cand = uniq[np.argsort(first)]
+        cand = cand[st.mp_alive[cand] & ~in_cur[cand]]
+        local_mps = cand[: self.p.max_local_mps].tolist()
         if local_mps:
             slots, kp_idx, valid, vis = self._match_against_mps(
                 frame, np.asarray(local_mps, np.int32),
@@ -752,7 +755,10 @@ class Tracking:
         return (c1 or since >= min_gap or urgent) and c2
 
     def _create_new_keyframe(self, frame: Frame):
-        k = self._insert_keyframe(frame)
+        from ..utils.stats import STATS
+
+        with STATS.stage("kf_insert"):
+            k = self._insert_keyframe(frame)
         # stereo/RGB-D: seed map points directly from depth for unmatched
         # keypoints, closest first (reference: Tracking::CreateNewKeyFrame)
         if frame.kp_depth is not None:

@@ -323,34 +323,42 @@ class LoopClosing:
         RunGlobalBundleAdjustment): it is polled between LM chunks, and —
         like the reference, which only applies GBA results after an
         uninterrupted run — an aborted GBA discards all progress and
-        leaves the map untouched."""
+        leaves the map untouched.
+
+        Safe to run on a background thread (the reference's detached
+        std::thread, LoopClosing.cc:602): problem assembly and the final
+        apply hold store.lock; the LM chunks in between run unlocked, and
+        a map that grew mid-run (concurrent push) discards the stale
+        result — the next pass redoes it on the fresher map."""
         st = self.store
         if iters <= 0:
             return
-        kfs = st.alive_kf_slots()
-        mps = st.alive_mp_slots()
-        if len(kfs) < 3 or len(mps) < 50:
-            return
-        cam_lut = np.full(st.n_kf, -1, np.int32)
-        cam_lut[kfs] = np.arange(len(kfs), dtype=np.int32)
-        pt_lut = np.full(st.n_mp, -1, np.int32)
-        pt_lut[mps] = np.arange(len(mps), dtype=np.int32)
-        om, okf, okp = st.obs_arrays()
-        sel = (pt_lut[om] >= 0) & (cam_lut[okf] >= 0)
-        sel_kf, sel_kp = okf[sel], okp[sel]
-        obs_cam = cam_lut[sel_kf]
-        obs_pt = pt_lut[om[sel]]
-        obs_uv = st.kf_kp_uv[sel_kf, sel_kp]
-        obs_is2 = (1.0 / self.scale_factor
-                   ** (2.0 * st.kf_kp_octave[sel_kf, sel_kp]))
-        if len(obs_cam) < 100:
-            return
-        fixed = np.zeros(len(kfs), bool)
-        fixed[0] = True
-        prob = ba_ops.build_padded_problem(
-            st.kf_pose_cw[kfs], st.kf_K[kfs], fixed,
-            st.mp_pos[mps], obs_cam, obs_pt, obs_uv, obs_is2,
-        )
+        with st.lock:
+            kfs = st.alive_kf_slots()
+            mps = st.alive_mp_slots()
+            if len(kfs) < 3 or len(mps) < 50:
+                return
+            n_kf0, n_mp0 = st.n_kf, st.n_mp
+            cam_lut = np.full(st.n_kf, -1, np.int32)
+            cam_lut[kfs] = np.arange(len(kfs), dtype=np.int32)
+            pt_lut = np.full(st.n_mp, -1, np.int32)
+            pt_lut[mps] = np.arange(len(mps), dtype=np.int32)
+            om, okf, okp = st.obs_arrays()
+            sel = (pt_lut[om] >= 0) & (cam_lut[okf] >= 0)
+            sel_kf, sel_kp = okf[sel], okp[sel]
+            obs_cam = cam_lut[sel_kf]
+            obs_pt = pt_lut[om[sel]]
+            obs_uv = st.kf_kp_uv[sel_kf, sel_kp]
+            obs_is2 = (1.0 / self.scale_factor
+                       ** (2.0 * st.kf_kp_octave[sel_kf, sel_kp]))
+            if len(obs_cam) < 100:
+                return
+            fixed = np.zeros(len(kfs), bool)
+            fixed[0] = True
+            prob = ba_ops.build_padded_problem(
+                st.kf_pose_cw[kfs], st.kf_K[kfs], fixed,
+                st.mp_pos[mps], obs_cam, obs_pt, obs_uv, obs_is2,
+            )
         res = None
         done = 0
         first = True
@@ -367,8 +375,16 @@ class LoopClosing:
             done += step
             first = False
         Tn, pn = (np.asarray(x) for x in fetch(res.Tcw, res.pts))
-        for i, kk in enumerate(kfs):
-            if not fixed[i]:
-                st.set_kf_pose(int(kk), Tn[i])
-        for i, m in enumerate(mps):
-            st.set_mp_pos(int(m), pn[i])
+        with st.lock:
+            if should_abort is not None and should_abort():
+                _log.info("GBA aborted before apply (new request)")
+                return
+            if st.n_kf != n_kf0 or st.n_mp != n_mp0:
+                _log.info("GBA discarded: map grew during the run "
+                          "(%d->%d KFs)", n_kf0, st.n_kf)
+                return
+            for i, kk in enumerate(kfs):
+                if not fixed[i]:
+                    st.set_kf_pose(int(kk), Tn[i])
+            for i, m in enumerate(mps):
+                st.set_mp_pos(int(m), pn[i])

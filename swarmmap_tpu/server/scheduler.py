@@ -33,11 +33,17 @@ class MediatorScheduler:
 
     def __init__(self, map_manager: MapManager | None = None,
                  distribute_fn: Callable[[int, bytes], None] | None = None,
-                 gba_iters: int = 10):
+                 gba_iters: int = 10, background_gba: bool = False):
         self.map_manager = map_manager or MapManager()
         self.mediators: dict[int, AgentMediator] = {}
         self.distribute_fn = distribute_fn  # (agent_id, payload) -> None
         self.gba_iters = gba_iters
+        # background_gba: run GBA on a detached per-agent thread the way
+        # the reference does (LoopClosing.cc:602 RunGlobalBundleAdjustment
+        # std::thread + mbStopGBA) so the scheduler keeps draining pushes
+        # during the optimization.  Off by default: the synchronous path
+        # is deterministic (combined-mode tests gate on it).
+        self.background_gba = background_gba
         self._heap: list = []
         self._seq = itertools.count()
         self._lock = threading.Lock()
@@ -45,6 +51,8 @@ class MediatorScheduler:
         self._worker: threading.Thread | None = None
         self._stop = False
         self.processed = 0
+        self._gba_threads: dict[int, threading.Thread] = {}
+        self._gba_abort: dict[int, threading.Event] = {}
 
     def register_mediator(self, med: AgentMediator):
         self.mediators[med.map_id] = med
@@ -83,32 +91,72 @@ class MediatorScheduler:
     def process_request(self, agent_id: int, sl: MapSlice):
         """One full server pass (reference: ProcessRequest)."""
         med = self.mediators[agent_id]
-        new_kfs = med.on_push(sl)                       # ReceivePush
-        med.check_overlap_candidates(new_kfs)           # global overlap
-        med.scoring.rank()                              # MBP Rank
-        vk = med.enhancer.get_virtual_keyframe(new_kfs) # MBP virtual KF
-        if vk is not None and med.kfdb is not None:
-            med.kfdb.add(med.store, vk)
-        med.enhancer.compress()                         # MBP compress
+        if self.background_gba:
+            # a fresh push supersedes the in-flight GBA for this agent
+            # (mbStopGBA): signal it; its apply-under-lock will discard
+            ev = self._gba_abort.get(agent_id)
+            if ev is not None:
+                ev.set()
+        with med.store.lock:  # serialize against background GBA apply
+            new_kfs = med.on_push(sl)                       # ReceivePush
+            med.check_overlap_candidates(new_kfs)           # global overlap
+            med.scoring.rank()                              # MBP Rank
+            vk = med.enhancer.get_virtual_keyframe(new_kfs)  # MBP virtual KF
+            if vk is not None and med.kfdb is not None:
+                med.kfdb.add(med.store, vk)
+            med.enhancer.compress()                         # MBP compress
         if len(new_kfs) > 0:
-            # mbStopGBA analogue: a NEWER pending push for this agent
-            # aborts the in-flight GBA (LoopClosing.cc
-            # RunGlobalBundleAdjustment); the next pass redoes it on the
-            # fresher map
-            def newer_pending():
-                with self._lock:
-                    return any(aid == agent_id for _, aid, _sl in self._heap)
+            if self.background_gba:
+                self._launch_gba(agent_id)
+            else:
+                # mbStopGBA analogue: a NEWER pending push for this agent
+                # aborts the in-flight GBA (LoopClosing.cc
+                # RunGlobalBundleAdjustment); the next pass redoes it on
+                # the fresher map
+                def newer_pending():
+                    with self._lock:
+                        return any(aid == agent_id for _, aid, _sl in self._heap)
 
-            med.loop_closing.global_ba(self.gba_iters,
-                                       should_abort=newer_pending)  # GBA(10)
+                med.loop_closing.global_ba(self.gba_iters,
+                                           should_abort=newer_pending)  # GBA(10)
         self.map_distribute(agent_id)
         self.processed += 1
+
+    # ------------------------------------------------------------- background GBA
+    def _launch_gba(self, agent_id: int):
+        """Detached per-agent GBA (reference: LoopClosing.cc:602).  The
+        scheduler worker returns immediately; results apply under
+        store.lock only if no newer push aborted the run; a successful
+        run re-distributes the corrected map."""
+        med = self.mediators[agent_id]
+        prev = self._gba_threads.get(agent_id)
+        prev_ev = self._gba_abort.get(agent_id)
+        if prev is not None and prev.is_alive() and prev_ev is not None:
+            prev_ev.set()           # supersede the in-flight run
+        ev = threading.Event()
+        self._gba_abort[agent_id] = ev
+
+        def run():
+            med.loop_closing.global_ba(self.gba_iters, should_abort=ev.is_set)
+            if not ev.is_set():
+                self.map_distribute(agent_id)
+
+        t = threading.Thread(target=run, daemon=True,
+                             name=f"gba-{agent_id}")
+        self._gba_threads[agent_id] = t
+        t.start()
+
+    def wait_gba_idle(self, timeout: float = 60.0):
+        """Join all in-flight background GBA threads (shutdown barrier)."""
+        for t in list(self._gba_threads.values()):
+            t.join(timeout=timeout)
 
     def map_distribute(self, agent_id: int):
         """Ship the server-side delta (rebased poses, virtual KFs, fused
         points) back to the client (reference: MapDistribute)."""
         med = self.mediators[agent_id]
-        sl = med.mapit.archive()
+        with med.store.lock:
+            sl = med.mapit.archive()
         if not any(sl.counts()) and sl.twl is None:
             return
         payload = codec.encode_slice(sl)
@@ -146,7 +194,10 @@ class MediatorScheduler:
 
     def stop(self):
         self._stop = True
+        for ev in self._gba_abort.values():
+            ev.set()
         with self._cv:
             self._cv.notify_all()
         if self._worker is not None:
             self._worker.join(timeout=5)
+        self.wait_gba_idle(timeout=5)

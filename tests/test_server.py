@@ -128,3 +128,92 @@ def test_merge_scale_guard(rng):
     # hits the guard on the transform update
     ok = st2.set_transform(np.eye(3, dtype=np.float32), np.zeros(3, np.float32), 50.0)
     assert not ok
+
+
+def test_background_gba_abort_nonblocking(rng, monkeypatch):
+    """Reference: RunGlobalBundleAdjustment runs on a detached thread and
+    mbStopGBA aborts it when new work arrives (LoopClosing.cc:602-680).
+    A push arriving mid-GBA must (a) not block process_request on the
+    optimization and (b) abort the in-flight GBA, whose results are then
+    discarded."""
+    import time
+
+    from swarmmap_tpu.ops.vocab import default_vocabulary
+    from swarmmap_tpu.server import loop_closing as lc_mod
+    from swarmmap_tpu.server.mediator import AgentMediator
+    from swarmmap_tpu.server.scheduler import MediatorScheduler
+    from swarmmap_tpu.swarm import SwarmAgent
+    from swarmmap_tpu.utils.config import CameraConfig, OrbConfig, Settings
+
+    vocab = default_vocabulary()
+    AgentMediator.registry.clear()
+    mm = MapManager()
+    sched = MediatorScheduler(mm, gba_iters=40, background_gba=True)
+
+    settings = Settings(
+        camera=CameraConfig(fx=100, fy=100, cx=32, cy=32, fps=20,
+                            width=64, height=64),
+        orb=OrbConfig(n_features=64, n_levels=3),
+    )
+    agent = SwarmAgent(0, settings, vocab)
+    med = AgentMediator(0, vocab, mm, n_kp=agent.system.store.n_kp)
+    sched.register_mediator(med)
+    st = agent.system.store
+    K = settings.camera.K
+    for i in range(4):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.3 * i, 0, 0]
+        st.add_keyframe(
+            pose_cw=T, K=K,
+            kp_uv=rng.uniform(5, 60, (st.n_kp, 2)).astype(np.float32),
+            kp_octave=rng.randint(0, 3, st.n_kp),
+            kp_angle=rng.uniform(0, 360, st.n_kp).astype(np.float32),
+            kp_response=rng.rand(st.n_kp).astype(np.float32),
+            kp_valid=np.ones(st.n_kp, bool),
+            desc=rng.randint(0, 2**32, (st.n_kp, 8), dtype=np.uint32),
+            ts=float(i), hw=(64, 64),
+        )
+    for j in range(60):
+        pos = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1),
+                        rng.uniform(2, 5)], np.float32)
+        m = st.add_map_point(pos, st.kf_desc[0, j % st.n_kp], ref_kf=0)
+        for k in range(4):
+            st.add_observation(m, k, (j * 4 + k) % st.n_kp)
+
+    real_ba = lc_mod.ba_ops.bundle_adjust
+
+    def slow_ba(*a, **kw):
+        time.sleep(0.25)
+        return real_ba(*a, **kw)
+
+    monkeypatch.setattr(lc_mod.ba_ops, "bundle_adjust", slow_ba)
+
+    sched.enqueue_request(0, agent.push_payload())
+    t0 = time.perf_counter()
+    assert sched.process_pending() == 1
+    dt_first = time.perf_counter() - t0
+    gba_thread = sched._gba_threads[0]
+    assert gba_thread.is_alive(), "GBA must run on a background thread"
+    # 40 iters / chunk 4 = 10 chunks * >=0.25s: a synchronous GBA would
+    # have taken >2.5s inside process_request
+    assert dt_first < 2.0, f"process_request blocked on GBA ({dt_first:.1f}s)"
+
+    with med.store.lock:
+        poses_before = med.store.kf_pose_cw[: med.store.n_kf].copy()
+
+    # second push (map points only -> no new GBA) arrives mid-GBA
+    m = st.add_map_point(np.array([0, 0, 3.0], np.float32),
+                         st.kf_desc[0, 0], ref_kf=0)
+    st.add_observation(m, 0, 1)
+    t0 = time.perf_counter()
+    sched.enqueue_request(0, agent.push_payload())
+    assert sched.process_pending() == 1
+    assert time.perf_counter() - t0 < 2.0
+    assert sched._gba_abort[0].is_set(), "push must abort the in-flight GBA"
+
+    gba_thread.join(timeout=30)
+    assert not gba_thread.is_alive()
+    # aborted GBA discards its progress: keyframe poses untouched
+    with med.store.lock:
+        np.testing.assert_array_equal(
+            med.store.kf_pose_cw[: len(poses_before)], poses_before)
