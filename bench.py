@@ -54,32 +54,59 @@ def bench_swarm_step(budget_s: float = 420.0) -> dict:
         ),
         orb=OrbConfig(n_features=N_FEATURES, n_levels=N_LEVELS),
     )
+    from swarmmap_tpu.utils.stats import STATS, measure_rpc_floor
+
+    # async local mapping: tracking overlaps the mapping worker the way
+    # the reference's free LocalMapping::Run thread does
     swarm = Swarm(N_AGENTS, settings,
-                  config=SwarmConfig(push_every=20, report_every=10),
+                  config=SwarmConfig(push_every=20, report_every=10,
+                                     async_mapping=True, async_server=True),
                   run_server_gba=False)
     t_start = time.perf_counter()
     times = []
     done = 0
+    steady_from = n_frames // 3  # init/compile-heavy warmup excluded
+    n_steady = 0
     for i in range(n_frames):
+        if done == steady_from:
+            STATS.reset()
         t0 = time.perf_counter()
         swarm.step([s.read(i) for s in seqs], float(seqs[0].timestamps[i]))
         times.append(time.perf_counter() - t0)
         done += 1
         if time.perf_counter() - t_start > budget_s:
             break
+    swarm.finish()
     # steady state: skip the init/compile-heavy first third
-    tail = sorted(times[max(done // 3, 1):]) or sorted(times)
+    steady = times[min(steady_from, max(done - 1, 1)):] or times
+    n_steady = len(steady)
+    tail = sorted(steady)
     import statistics
 
     p50 = statistics.median(tail)
     p95 = tail[min(int(0.95 * len(tail)), len(tail) - 1)]
     tracked = min(a.frames_tracked for a in swarm.agents)
+    # honest transfer accounting: RPCs per steady frame x measured tunnel
+    # floor = latency a real (PCIe-attached) TPU host would not pay
+    s = STATS.summary()
+    # only BLOCKING round trips (device_get) pay the tunnel floor —
+    # uploads and dispatches pipeline asynchronously (measured: the whole
+    # 7-array h2d stage costs ~6 ms, not 7 x floor)
+    rpcs = s.get("rpc_fetch", {}).get("count", 0)
+    rpc_per_frame = rpcs / max(n_steady, 1)
+    floor = measure_rpc_floor()
+    floor_ms = floor["rpc_dispatch_fetch_ms"]
+    adj_ms = max(p50 * 1e3 - rpc_per_frame * floor_ms, 0.5)
     return {
         "swarm_fps_per_agent": round(1.0 / p50, 2),
         "swarm_step_p50_ms": round(p50 * 1e3, 1),
         "swarm_step_p95_ms": round(p95 * 1e3, 1),
         "swarm_frames": done,
         "swarm_min_tracked": int(tracked),
+        "swarm_rpcs_per_step": round(rpc_per_frame, 2),
+        "swarm_rpc_floor_ms": floor_ms,
+        "swarm_step_p50_tunnel_adj_ms": round(adj_ms, 1),
+        "swarm_fps_per_agent_tunnel_adj": round(1e3 / adj_ms, 1),
     }
 
 

@@ -38,11 +38,32 @@ class Frame:
     nodes: np.ndarray | None = None        # [N] BoW grouping node ids
     sigma2: np.ndarray | None = None       # [N] per-kp scale sigma^2
     kp_depth: np.ndarray | None = None     # [N] metric depth (<=0 invalid)
+    # deferred device->host feature transfer: steady-state fused frames
+    # only need (pose, match_mp) on host — the feature arrays stay on
+    # device unless a keyframe decision / staged fallback needs them
+    # (callable returning (xy, octave, angle, response, desc, valid))
+    lazy_feats: object = None
+    scale_factor: float = 1.2
 
     def __post_init__(self):
         n = len(self.xy)
         if self.mp is None:
             self.mp = np.full(n, -1, np.int32)
+
+    def ensure_features(self):
+        """Materialize the feature arrays from the deferred fetch."""
+        if self.lazy_feats is None:
+            return
+        xy, octv, ang, resp, desc, valid = self.lazy_feats()
+        self.xy = self.xy_raw = np.asarray(xy)
+        self.octave = np.asarray(octv)
+        self.angle = np.asarray(ang)
+        self.response = np.asarray(resp)
+        self.desc = np.asarray(desc)
+        self.valid = np.asarray(valid)
+        self.sigma2 = (self.scale_factor
+                       ** (2.0 * self.octave)).astype(np.float32)
+        self.lazy_feats = None
 
     @property
     def n(self) -> int:

@@ -170,8 +170,11 @@ class LocalMapping:
                     k = self.queue.pop(0)
                     self._busy = True
                 try:
-                    with self.store.lock:
-                        self.process_keyframe(k)
+                    # each stage takes store.lock only around its store
+                    # reads/writes; the device dispatch+fetch windows run
+                    # UNLOCKED so tracking's fused steps interleave (the
+                    # reference's free-running LocalMapping::Run thread)
+                    self.process_keyframe(k)
                 except Exception:  # noqa: BLE001 — worker must survive
                     _log.exception("async local mapping failed for kf %d", k)
                 finally:
@@ -207,13 +210,20 @@ class LocalMapping:
             self._thread.join(timeout=5.0)
         self._async = False
 
+    @property
+    def busy(self) -> bool:
+        """True while the async worker has queued or in-flight keyframes
+        (reference: LocalMapping::AcceptKeyFrames / SetAcceptKeyFrames —
+        the tracking-side KF policy throttles on it)."""
+        return self._async and (self._busy or bool(self.queue))
+
     def process_keyframe(self, k: int):
         from ..utils.stats import STATS
 
         st = self.store
-        with STATS.stage("lm_process_new"):
+        with STATS.stage("lm_process_new"), st.lock:
             self._process_new_keyframe(k)
-        with STATS.stage("lm_cull_mps"):
+        with STATS.stage("lm_cull_mps"), st.lock:
             self._cull_map_points(k)
         with STATS.stage("lm_triangulate"):
             self._create_new_map_points(k)
@@ -222,7 +232,7 @@ class LocalMapping:
         if st.kf_alive[: st.n_kf].sum() > 2:
             with STATS.stage("lm_local_ba"):
                 self._local_ba(k)
-        with STATS.stage("lm_cull_kfs"):
+        with STATS.stage("lm_cull_kfs"), st.lock:
             self._cull_keyframes(k)
         # hand the KF to the (server-side) loop closer via the map event
         # log (reference: LocalMapping.cc:88-90)
@@ -271,6 +281,19 @@ class LocalMapping:
         self.recent_mps = kept
 
     def _create_new_map_points(self, k: int, n_neighbors: int = 8):
+        st = self.store
+        with st.lock:
+            args = self._triangulate_assemble(k, n_neighbors)
+        if args is None:
+            return
+        kept_nb, dev_args = args
+        # dispatch + fetch run UNLOCKED (tracking interleaves in async mode)
+        idx_b, good_b, pts_b = fetch(_batched_triangulate(*dev_args))
+        idx_b, good_b, pts_b = np.asarray(idx_b), np.asarray(good_b), np.asarray(pts_b)
+        with st.lock:
+            self._triangulate_commit(k, kept_nb, idx_b, good_b, pts_b)
+
+    def _triangulate_assemble(self, k: int, n_neighbors: int):
         st = self.store
         neighbors = st.covisible_kfs(k, n_neighbors)
         if not neighbors:
@@ -328,11 +351,11 @@ class LocalMapping:
             nb_ok[bi] = True
             kept_nb.append((bi, k2))
         if not kept_nb:
-            return
+            return None
         free1 = st.kf_kp_valid[k] & (st.kf_kp_mp[k] == NO_MP)
         sig2_1 = (self.scale_factor ** (2.0 * st.kf_kp_octave[k])).astype(np.float32)
         # ONE device dispatch for all neighbors, ONE fetch
-        idx_b, good_b, pts_b = fetch(_batched_triangulate(
+        dev_args = (
             jnp.asarray(st.kf_nodes[k]), jnp.asarray(free1),
             jnp.asarray(st.kf_kp_uv[k]), jnp.asarray(st.kf_desc[k]),
             jnp.asarray(st.kf_kp_angle[k]), jnp.asarray(sig2_1),
@@ -341,10 +364,13 @@ class LocalMapping:
             jnp.asarray(desc2), jnp.asarray(angle2), jnp.asarray(sig2_2),
             jnp.asarray(F12), jnp.asarray(P2), jnp.asarray(T2),
             jnp.asarray(c2), jnp.asarray(nb_ok),
-        ))
-        idx_b, good_b, pts_b = np.asarray(idx_b), np.asarray(good_b), np.asarray(pts_b)
+        )
+        return kept_nb, dev_args
+
+    def _triangulate_commit(self, k, kept_nb, idx_b, good_b, pts_b):
+        st = self.store
         created = 0
-        claimed = np.zeros(n_kp, bool)  # first neighbor wins a keypoint
+        claimed = np.zeros(st.n_kp, bool)  # first neighbor wins a keypoint
         for bi, k2 in kept_nb:
             good = good_b[bi] & ~claimed
             for i in np.where(good)[0]:
@@ -368,47 +394,49 @@ class LocalMapping:
         target keyframe and merge duplicates — one vmapped device dispatch
         (reference: SearchInNeighbors + ORBmatcher::Fuse)."""
         st = self.store
-        neighbors = st.covisible_kfs(k, max_targets - 1)
-        targets = [k] + neighbors
+        with st.lock:
+            neighbors = st.covisible_kfs(k, max_targets - 1)
+            targets = [k] + neighbors
         # shared candidate set: union of all targets' points (array
         # gather; dedup keeps the FIRST occurrence so the strongest
         # targets' points survive the bucket cut)
-        rows = st.kf_kp_mp[np.asarray(targets, np.int32)]
-        flat = rows[rows != NO_MP]
-        uniq, first = np.unique(flat, return_index=True)
-        cand = uniq[np.argsort(first)]
-        cand = cand[st.mp_alive[cand]]
-        if not len(cand):
-            return
-        slots = cand[:cand_bucket].astype(np.int32)
-        n = len(slots)
-        mp_pos = np.zeros((cand_bucket, 3), np.float32)
-        mp_desc = np.zeros((cand_bucket, 8), np.uint32)
-        mp_maxd = np.ones(cand_bucket, np.float32)
-        mp_ok = np.zeros(cand_bucket, bool)
-        mp_pos[:n] = st.mp_pos[slots]
-        mp_desc[:n] = st.mp_desc[slots]
-        mp_maxd[:n] = st.mp_max_dist[slots]
-        mp_ok[:n] = True
+            rows = st.kf_kp_mp[np.asarray(targets, np.int32)]
+            flat = rows[rows != NO_MP]
+            uniq, first = np.unique(flat, return_index=True)
+            cand = uniq[np.argsort(first)]
+            cand = cand[st.mp_alive[cand]]
+            if not len(cand):
+                return
+            slots = cand[:cand_bucket].astype(np.int32)
+            n = len(slots)
+            mp_pos = np.zeros((cand_bucket, 3), np.float32)
+            mp_desc = np.zeros((cand_bucket, 8), np.uint32)
+            mp_maxd = np.ones(cand_bucket, np.float32)
+            mp_ok = np.zeros(cand_bucket, bool)
+            mp_pos[:n] = st.mp_pos[slots]
+            mp_desc[:n] = st.mp_desc[slots]
+            mp_maxd[:n] = st.mp_max_dist[slots]
+            mp_ok[:n] = True
 
-        B = max_targets
-        n_kp = st.n_kp
-        kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
-        kf_K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
-        kf_uv = np.zeros((B, n_kp, 2), np.float32)
-        kf_oct = np.zeros((B, n_kp), np.int32)
-        kf_valid = np.zeros((B, n_kp), bool)
-        kf_desc = np.zeros((B, n_kp, 8), np.uint32)
-        kf_ok = np.zeros(B, bool)
-        for bi, tk in enumerate(targets[:B]):
-            kf_Tcw[bi] = st.kf_pose_cw[tk]
-            kf_K[bi] = st.kf_K[tk]
-            kf_uv[bi] = st.kf_kp_uv[tk]
-            kf_oct[bi] = st.kf_kp_octave[tk]
-            kf_valid[bi] = st.kf_kp_valid[tk]
-            kf_desc[bi] = st.kf_desc[tk]
-            kf_ok[bi] = True
-        hw = st.kf_hw[k]
+            B = max_targets
+            n_kp = st.n_kp
+            kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+            kf_K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+            kf_uv = np.zeros((B, n_kp, 2), np.float32)
+            kf_oct = np.zeros((B, n_kp), np.int32)
+            kf_valid = np.zeros((B, n_kp), bool)
+            kf_desc = np.zeros((B, n_kp, 8), np.uint32)
+            kf_ok = np.zeros(B, bool)
+            for bi, tk in enumerate(targets[:B]):
+                kf_Tcw[bi] = st.kf_pose_cw[tk]
+                kf_K[bi] = st.kf_K[tk]
+                kf_uv[bi] = st.kf_kp_uv[tk]
+                kf_oct[bi] = st.kf_kp_octave[tk]
+                kf_valid[bi] = st.kf_kp_valid[tk]
+                kf_desc[bi] = st.kf_desc[tk]
+                kf_ok[bi] = True
+            hw = st.kf_hw[k]
+        # dispatch + fetch UNLOCKED
         idx_b, valid_b = fetch(_batched_fuse_match(
             jnp.asarray(mp_pos), jnp.asarray(mp_desc), jnp.asarray(mp_maxd),
             jnp.asarray(mp_ok),
@@ -419,24 +447,27 @@ class LocalMapping:
             window_th,
         ))
         idx_b, valid_b = np.asarray(idx_b), np.asarray(valid_b)
-        for bi, tk in enumerate(targets[:B]):
-            for qi in np.where(valid_b[bi])[0]:
-                mp_new = int(slots[qi]) if qi < n else NO_MP
-                if mp_new == NO_MP or not st.mp_alive[mp_new]:
+        with st.lock:
+            for bi, tk in enumerate(targets[:B]):
+                if not st.kf_alive[tk]:
                     continue
-                kp = int(idx_b[bi, qi])
-                mp_old = int(st.kf_kp_mp[tk, kp])
-                if mp_old != NO_MP and st.mp_alive[mp_old]:
-                    if mp_old == mp_new:
+                for qi in np.where(valid_b[bi])[0]:
+                    mp_new = int(slots[qi]) if qi < n else NO_MP
+                    if mp_new == NO_MP or not st.mp_alive[mp_new]:
                         continue
-                    if len(st.obs.get(mp_old, {})) >= len(st.obs.get(mp_new, {})):
-                        st.replace_mp(mp_new, mp_old)
+                    kp = int(idx_b[bi, qi])
+                    mp_old = int(st.kf_kp_mp[tk, kp])
+                    if mp_old != NO_MP and st.mp_alive[mp_old]:
+                        if mp_old == mp_new:
+                            continue
+                        if st.mp_nobs[mp_old] >= st.mp_nobs[mp_new]:
+                            st.replace_mp(mp_new, mp_old)
+                        else:
+                            st.replace_mp(mp_old, mp_new)
                     else:
-                        st.replace_mp(mp_old, mp_new)
-                else:
-                    st.add_observation(mp_new, tk, kp)
-        self._refresh_dirty()
-        st.update_connections(k)
+                        st.add_observation(mp_new, tk, kp)
+            self._refresh_dirty()
+            st.update_connections(k)
 
     # ------------------------------------------------------------------
     def _local_ba(self, k: int, max_cams: int = 16, max_pts: int = 4096,
@@ -444,62 +475,72 @@ class LocalMapping:
         """Covisibility-window bundle adjustment
         (reference: Optimizer::LocalBundleAdjustment)."""
         st = self.store
-        local = [k] + st.covisible_kfs(k, max_cams - 1)
-        # local points = union of local KFs' observations (array gather:
-        # the dict-walk version was a wall at 50k observations)
-        rows = st.kf_kp_mp[np.asarray(local, np.int32)]
-        flat = rows[rows != NO_MP]
-        uniq, first = np.unique(flat, return_index=True)
-        pts_arr = uniq[np.argsort(first)]
-        pts_arr = pts_arr[st.mp_alive[pts_arr]][:max_pts].astype(np.int64)
-        if len(pts_arr) < 20:
-            return
-        pt_lut = np.full(st.n_mp, -1, np.int32)
-        pt_lut[pts_arr] = np.arange(len(pts_arr), dtype=np.int32)
-        om, okf, okp = st.obs_arrays()
-        in_pts = pt_lut[om] >= 0
-        # frontier: KFs observing local points but not in the window (fixed)
-        local_arr = np.asarray(local, np.int64)
-        is_local = np.zeros(st.n_kf, bool)
-        is_local[local_arr] = True
-        obs_kfs = np.unique(okf[in_pts])
-        obs_kfs = obs_kfs[st.kf_alive[obs_kfs]]
-        frontier = obs_kfs[~is_local[obs_kfs]]
-        cams = np.concatenate([local_arr, frontier])
-        cam_lut = np.full(st.n_kf, -1, np.int32)
-        cam_lut[cams] = np.arange(len(cams), dtype=np.int32)
-        fixed = np.zeros(len(cams), bool)
-        fixed[len(local):] = True
-        if cam_lut[0] >= 0:
-            fixed[cam_lut[0]] = True  # keep the origin KF as gauge
-        elif not fixed.any():
-            fixed[len(local) - 1] = True  # no frontier: anchor the oldest
-        sel = np.where(in_pts & (cam_lut[okf] >= 0) & st.kf_alive[okf])[0][:max_obs]
-        if len(sel) < 30:
-            return
-        sel_kf, sel_kp = okf[sel], okp[sel]
-        obs_cam = cam_lut[sel_kf]
-        obs_pt = pt_lut[om[sel]]
-        obs_uv = st.kf_kp_uv[sel_kf, sel_kp]
-        obs_is2 = (1.0 / self.scale_factor
-                   ** (2.0 * st.kf_kp_octave[sel_kf, sel_kp]))
-        prob = ba_ops.build_padded_problem(
-            st.kf_pose_cw[cams], st.kf_K[cams], fixed,
-            st.mp_pos[pts_arr], obs_cam, obs_pt, obs_uv, obs_is2,
-        )
+        with st.lock:
+            n_kf0, n_mp0 = st.n_kf, st.n_mp
+            local = [k] + st.covisible_kfs(k, max_cams - 1)
+            # local points = union of local KFs' observations (array
+            # gather: the dict-walk version was a wall at 50k observations)
+            rows = st.kf_kp_mp[np.asarray(local, np.int32)]
+            flat = rows[rows != NO_MP]
+            uniq, first = np.unique(flat, return_index=True)
+            pts_arr = uniq[np.argsort(first)]
+            pts_arr = pts_arr[st.mp_alive[pts_arr]][:max_pts].astype(np.int64)
+            if len(pts_arr) < 20:
+                return
+            pt_lut = np.full(st.n_mp, -1, np.int32)
+            pt_lut[pts_arr] = np.arange(len(pts_arr), dtype=np.int32)
+            om, okf, okp = st.obs_arrays()
+            in_pts = pt_lut[om] >= 0
+            # frontier: KFs observing local points but not in the window
+            local_arr = np.asarray(local, np.int64)
+            is_local = np.zeros(st.n_kf, bool)
+            is_local[local_arr] = True
+            obs_kfs = np.unique(okf[in_pts])
+            obs_kfs = obs_kfs[st.kf_alive[obs_kfs]]
+            frontier = obs_kfs[~is_local[obs_kfs]]
+            cams = np.concatenate([local_arr, frontier])
+            cam_lut = np.full(st.n_kf, -1, np.int32)
+            cam_lut[cams] = np.arange(len(cams), dtype=np.int32)
+            fixed = np.zeros(len(cams), bool)
+            fixed[len(local):] = True
+            if cam_lut[0] >= 0:
+                fixed[cam_lut[0]] = True  # keep the origin KF as gauge
+            elif not fixed.any():
+                fixed[len(local) - 1] = True  # no frontier: anchor the oldest
+            sel = np.where(
+                in_pts & (cam_lut[okf] >= 0) & st.kf_alive[okf])[0][:max_obs]
+            if len(sel) < 30:
+                return
+            sel_kf, sel_kp = okf[sel], okp[sel]
+            obs_cam = cam_lut[sel_kf]
+            obs_pt = pt_lut[om[sel]]
+            obs_uv = st.kf_kp_uv[sel_kf, sel_kp]
+            obs_is2 = (1.0 / self.scale_factor
+                       ** (2.0 * st.kf_kp_octave[sel_kf, sel_kp]))
+            prob = ba_ops.build_padded_problem(
+                st.kf_pose_cw[cams], st.kf_K[cams], fixed,
+                st.mp_pos[pts_arr], obs_cam, obs_pt, obs_uv, obs_is2,
+            )
+        # LM iterations + fetch run UNLOCKED
         res = ba_ops.bundle_adjust(prob, iters_a=5, iters_b=10, mode="dense")
         Tcw_new, pts_new, obs_inl = fetch(res.Tcw, res.pts, res.obs_inlier)
         Tcw_new = np.asarray(Tcw_new)
         pts_new = np.asarray(pts_new)
-        for i, c in enumerate(cams):
-            if not fixed[i]:
-                st.set_kf_pose(int(c), Tcw_new[i])
-        for i, m in enumerate(pts_arr):
-            st.set_mp_pos(int(m), pts_new[i])
-        # prune outlier observations (ignore padded tail)
-        inl = np.asarray(obs_inl)[: len(sel)]
-        for o in np.where(~inl)[0]:
-            st.erase_observation(int(om[sel[o]]), int(okf[sel[o]]))
+        with st.lock:
+            if st.n_kf != n_kf0 or st.n_mp != n_mp0:
+                # an urgent keyframe landed mid-BA: discard the stale
+                # window (reference: mbAbortBA interrupts LocalBA)
+                _log.debug("local BA discarded: map grew during the run")
+                return
+            for i, c in enumerate(cams):
+                if not fixed[i]:
+                    st.set_kf_pose(int(c), Tcw_new[i])
+            for i, m in enumerate(pts_arr):
+                st.set_mp_pos(int(m), pts_new[i])
+            # prune outlier observations (ignore padded tail)
+            inl = np.asarray(obs_inl)[: len(sel)]
+            for o in np.where(~inl)[0]:
+                st.erase_observation(int(om[sel[o]]), int(okf[sel[o]]))
 
     def _cull_keyframes(self, k: int):
         """Redundancy culling: a local KF whose points are >=90% seen by

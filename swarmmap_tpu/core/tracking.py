@@ -248,39 +248,45 @@ class Tracking:
 
     def commit_fused(self, image: np.ndarray, timestamp: float,
                      slots: np.ndarray, Tcw_np, n_inl, match_local,
-                     f_xy, f_oct, f_ang, f_resp, f_desc, f_valid) -> Frame:
-        """Consume the (already fetched, numpy) outputs of the fused
-        device program: build the Frame, claim matches, do the
-        steady-state bookkeeping — or fall back to the staged path
-        reusing the extraction."""
+                     feats_provider) -> Frame:
+        """Consume the fused device program's outputs: (pose, inliers,
+        matches) are already host numpy; the FEATURE arrays stay on
+        device behind `feats_provider` (a callable doing the fetch) and
+        only materialize on keyframe / fallback frames — steady frames
+        skip that device->host payload entirely."""
         with self.store.lock:
             return self._commit_fused_locked(
                 image, timestamp, slots, Tcw_np, n_inl, match_local,
-                f_xy, f_oct, f_ang, f_resp, f_desc, f_valid)
+                feats_provider)
 
     def _commit_fused_locked(self, image, timestamp, slots, Tcw_np, n_inl,
-                             match_local, f_xy, f_oct, f_ang, f_resp,
-                             f_desc, f_valid) -> Frame:
+                             match_local, feats_provider) -> Frame:
         st = self.store
         orb = self.settings.orb
         n_inl = int(n_inl)
-        octave = np.asarray(f_oct)
+        match_local = np.asarray(match_local)
+        n_kp = len(match_local)
+        zero_f = np.zeros(n_kp, np.float32)
         frame = Frame(
             frame_id=next(_frame_ids),
             timestamp=timestamp,
             K=self.settings.camera.K.copy(),
-            xy=np.asarray(f_xy), xy_raw=np.asarray(f_xy),
-            octave=octave,
-            angle=np.asarray(f_ang), response=np.asarray(f_resp),
-            desc=np.asarray(f_desc), valid=np.asarray(f_valid),
+            xy=np.zeros((n_kp, 2), np.float32),
+            xy_raw=np.zeros((n_kp, 2), np.float32),
+            octave=np.zeros(n_kp, np.int32),
+            angle=zero_f, response=zero_f,
+            desc=np.zeros((n_kp, 8), np.uint32),
+            valid=np.zeros(n_kp, bool),
             hw=image.shape[:2],
-            sigma2=(orb.scale_factor ** (2.0 * octave)).astype(np.float32),
+            sigma2=zero_f,
+            lazy_feats=feats_provider,
+            scale_factor=orb.scale_factor,
         )
-        match_local = np.asarray(match_local)
         has = match_local >= 0
         frame.mp[has] = slots[np.clip(match_local[has], 0, len(slots) - 1)]
         if n_inl < self.p.min_inliers_local:
             # fall back to the staged path with extraction reused
+            frame.ensure_features()
             self._track(frame)
             return frame
         frame.pose_cw = np.asarray(Tcw_np)
@@ -325,12 +331,16 @@ class Tracking:
             window_th=self.p.fused_window_th,
         )
         feats = out.features
-        # ONE batched device->host transfer for everything the host needs
-        fetched = fetch(
-            out.Tcw, out.n_inliers, out.match_mp, feats.xy, feats.octave,
-            feats.angle, feats.response, feats.desc, feats.valid,
-        )
-        return self.commit_fused(image, timestamp, slots, *fetched)
+        # small fetch for the steady path; feature arrays stay on device
+        # unless the commit decides it needs them (keyframe / fallback)
+        Tcw_np, n_inl, match_mp = fetch(out.Tcw, out.n_inliers, out.match_mp)
+
+        def provider():
+            return fetch(feats.xy, feats.octave, feats.angle,
+                         feats.response, feats.desc, feats.valid)
+
+        return self.commit_fused(image, timestamp, slots, Tcw_np, n_inl,
+                                 match_mp, provider)
 
     # ------------------------------------------------------------ initialization
     def _depth_initialization(self, frame: Frame, min_points: int = 50):
@@ -752,12 +762,19 @@ class Tracking:
         # yields when the view is changing fast (tracked support dropping)
         min_gap = max(int(0.2 * max_frames), 2)
         urgent = self.matches_inliers < 0.75 * max(ref_matches, 1)
+        # reference: bLocalMappingIdle gates the non-urgent branch — a
+        # busy mapping worker throttles keyframe creation instead of
+        # growing an unbounded queue (Tracking::NeedNewKeyFrame)
+        if (not urgent and self.local_mapping is not None
+                and getattr(self.local_mapping, "busy", False)):
+            return False
         return (c1 or since >= min_gap or urgent) and c2
 
     def _create_new_keyframe(self, frame: Frame):
         from ..utils.stats import STATS
 
         with STATS.stage("kf_insert"):
+            frame.ensure_features()
             k = self._insert_keyframe(frame)
         # stereo/RGB-D: seed map points directly from depth for unmatched
         # keypoints, closest first (reference: Tracking::CreateNewKeyFrame)

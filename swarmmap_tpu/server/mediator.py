@@ -90,12 +90,17 @@ class AgentMediator:
             elif func == "clear":
                 _log.warning("client %d cleared its map", self.map_id)
 
-        self.mapit.apply_slice(sl, vocab=self.vocab, on_map_event=on_map_event)
+        from ..utils.stats import STATS
+
+        with STATS.stage("srv_apply_slice"):
+            self.mapit.apply_slice(sl, vocab=self.vocab,
+                                   on_map_event=on_map_event)
         new_slots = list(range(n_before, st.n_kf))
         for k in new_slots:
             self.kfdb.add(st, k)
-        for k in loop_kfs:
-            self.loop_closing.process_keyframe(k)
+        with STATS.stage("srv_loop_detect"):
+            for k in loop_kfs:
+                self.loop_closing.process_keyframe(k)
         return new_slots
 
     # ------------------------------------------------------------------ overlap

@@ -97,14 +97,20 @@ class MediatorScheduler:
             ev = self._gba_abort.get(agent_id)
             if ev is not None:
                 ev.set()
+        from ..utils.stats import STATS
+
         with med.store.lock:  # serialize against background GBA apply
-            new_kfs = med.on_push(sl)                       # ReceivePush
-            med.check_overlap_candidates(new_kfs)           # global overlap
-            med.scoring.rank()                              # MBP Rank
-            vk = med.enhancer.get_virtual_keyframe(new_kfs)  # MBP virtual KF
-            if vk is not None and med.kfdb is not None:
-                med.kfdb.add(med.store, vk)
-            med.enhancer.compress()                         # MBP compress
+            with STATS.stage("srv_on_push"):
+                new_kfs = med.on_push(sl)                   # ReceivePush
+            with STATS.stage("srv_overlap"):
+                med.check_overlap_candidates(new_kfs)       # global overlap
+            with STATS.stage("srv_rank"):
+                med.scoring.rank()                          # MBP Rank
+            with STATS.stage("srv_vkf"):
+                vk = med.enhancer.get_virtual_keyframe(new_kfs)  # MBP virtual KF
+                if vk is not None and med.kfdb is not None:
+                    med.kfdb.add(med.store, vk)
+                med.enhancer.compress()                     # MBP compress
         if len(new_kfs) > 0:
             if self.background_gba:
                 self._launch_gba(agent_id)
@@ -184,13 +190,34 @@ class MediatorScheduler:
                     if self._stop:
                         return
                     _, agent_id, sl = heapq.heappop(self._heap)
+                    self._in_flight = True
                 try:
                     self.process_request(agent_id, sl)
                 except Exception:  # noqa: BLE001 — worker must survive
                     _log.exception("request processing failed for agent %d", agent_id)
+                finally:
+                    with self._cv:
+                        self._in_flight = False
+                        self._cv.notify_all()
 
+        self._in_flight = False
         self._worker = threading.Thread(target=run, daemon=True)
         self._worker.start()
+
+    def wait_queue_idle(self, timeout: float = 120.0):
+        """Block until the worker has drained the queue (shutdown/flush
+        barrier for combined mode)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        with self._cv:
+            while self._heap or getattr(self, "_in_flight", False):
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    _log.warning("wait_queue_idle timed out (%d queued)",
+                                 len(self._heap))
+                    return
+                self._cv.wait(min(0.05, remaining))
 
     def stop(self):
         self._stop = True

@@ -60,7 +60,8 @@ class SwarmAgent:
 
     def receive_distribute(self, payload: bytes):
         sl = codec.decode_slice(payload)
-        self.mapit.apply_slice(sl, vocab=self.vocab)
+        with self.system.store.lock:  # vs. async local mapping worker
+            self.mapit.apply_slice(sl, vocab=self.vocab)
 
 
 @dataclasses.dataclass
@@ -71,6 +72,10 @@ class SwarmConfig:
     # tracking (reference: free LocalMapping::Run thread). Default off —
     # the synchronous path is deterministic.
     async_mapping: bool = False
+    # drain the server's STS queue on a worker thread instead of inline
+    # in step() (reference: MediatorScheduler::Run worker,
+    # MediatorScheduler.cc:130-143). Default off for determinism.
+    async_server: bool = False
 
 
 class Swarm:
@@ -113,6 +118,8 @@ class Swarm:
         if self.config.async_mapping:
             for a in self.agents:
                 a.system.local_mapping.start_async()
+        if self.config.async_server:
+            self.scheduler.start_worker()
         self.frame_count = 0
         self.fused_cohort_dispatches = 0  # frames where ALL steady agents ran as ONE dispatch
 
@@ -208,28 +215,43 @@ class Swarm:
         from .utils.device import fetch
 
         with STATS.stage("fetch"):
-            fetched = fetch(
-                out.Tcw, out.n_inliers, out.match_mp, feats.xy, feats.octave,
-                feats.angle, feats.response, feats.desc, feats.valid,
+            # steady path fetches ONLY (pose, inliers, matches) — the
+            # feature arrays stay device-resident behind per-agent lazy
+            # providers and leave the device only on keyframe / fallback
+            # frames (~1 in 4-20)
+            Tcw_b, ninl_b, match_b = (
+                np.asarray(x)
+                for x in fetch(out.Tcw, out.n_inliers, out.match_mp)
             )
-            fetched = [np.asarray(x) for x in fetched]
         self.fused_cohort_dispatches += 1
         with STATS.stage("commit"):
             for j, (i, _inp, slots) in enumerate(fused):
                 agent, img = live[i]
                 tr = agent.system.tracking
-                frame = tr.commit_fused(img, ts, slots, *(x[j] for x in fetched))
+
+                def provider(j=j):
+                    return fetch(
+                        feats.xy[j], feats.octave[j], feats.angle[j],
+                        feats.response[j], feats.desc[j], feats.valid[j],
+                    )
+
+                frame = tr.commit_fused(img, ts, slots, Tcw_b[j], ninl_b[j],
+                                        match_b[j], provider)
                 pose = tr.finish_frame(frame, ts)
                 if pose is not None:
                     agent.frames_tracked += 1
 
     def sync(self):
-        """Push all agents' deltas, run the scheduler, deliver replies."""
+        """Push all agents' deltas, run the scheduler, deliver replies.
+        With async_server the worker thread drains the queue instead of
+        this call (the reference's scheduler worker)."""
         for agent in self.agents:
-            payload = agent.push_payload()
+            with agent.system.store.lock:
+                payload = agent.push_payload()
             if payload is not None:
                 self.scheduler.enqueue_request(agent.agent_id, payload)
-        self.scheduler.process_pending()
+        if not self.config.async_server:
+            self.scheduler.process_pending()
         for agent in self.agents:
             for payload in self._pending_distribute[agent.agent_id]:
                 agent.receive_distribute(payload)
@@ -241,7 +263,17 @@ class Swarm:
         if self.config.async_mapping:
             for a in self.agents:
                 a.system.local_mapping.stop_async()
+        if self.config.async_server:
+            self.scheduler.wait_queue_idle()
         self.sync()
+        if self.config.async_server:
+            self.scheduler.wait_queue_idle()
+            self.scheduler.stop()
+            # deliver any distributes produced by the final drain
+            for agent in self.agents:
+                for payload in self._pending_distribute[agent.agent_id]:
+                    agent.receive_distribute(payload)
+                self._pending_distribute[agent.agent_id].clear()
 
     # -- outputs ---------------------------------------------------------------
     def merged_groups(self) -> list[set[int]]:

@@ -179,3 +179,31 @@ def test_async_mapping_mode():
     # server replica got the pushes
     med = swarm.mediators[0]
     assert len(med.store.kf_by_gid) >= 2
+
+
+def test_fully_async_combined_mode():
+    """async_mapping + async_server together (the production bench
+    configuration): tracking, the per-agent mapping workers, and the STS
+    scheduler worker all overlap; the run must still track and replicate
+    (reference: free-running LocalMapping + MediatorScheduler::Run)."""
+    hw = (240, 320)
+    n_frames = 30
+    seqs = [
+        datasets.synthesize_sequence(n_frames=n_frames, hw=hw, seed=5,
+                                     agent=a, n_points=350)
+        for a in range(2)
+    ]
+    settings = make_settings(seqs[0].world, hw)
+    swarm = Swarm(2, settings,
+                  config=SwarmConfig(push_every=8, report_every=4,
+                                     async_mapping=True, async_server=True),
+                  run_server_gba=False)
+    for i in range(n_frames):
+        swarm.step([s.read(i) for s in seqs], float(seqs[0].timestamps[i]))
+    for a in swarm.agents:
+        a.system.local_mapping.wait_idle()
+    swarm.finish()
+    for a in swarm.agents:
+        assert a.frames_tracked > 0.8 * n_frames, a.frames_tracked
+    for med in swarm.mediators:
+        assert len(med.store.kf_by_gid) >= 2

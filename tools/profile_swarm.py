@@ -51,7 +51,11 @@ def main():
         orb=OrbConfig(n_features=1000, n_levels=8),
     )
     swarm = Swarm(N_AGENTS, settings,
-                  config=SwarmConfig(push_every=20, report_every=10),
+                  config=SwarmConfig(
+                      push_every=20, report_every=10,
+                      async_mapping=os.environ.get("PROFILE_SYNC") != "1",
+                      async_server=os.environ.get("PROFILE_SYNC") != "1",
+                  ),
                   run_server_gba=False)
     times = []
     # warm phase (init + compiles), then reset stats for the steady phase
