@@ -29,7 +29,8 @@ N_MAP_POINTS = 2048
 BASELINE_FPS = 20.0  # EuRoC camera rate -> real-time bar (BASELINE.md)
 
 
-def bench_swarm_step(budget_s: float = 420.0) -> dict:
+def bench_swarm_step(budget_s: float = 420.0,
+                     device_step_ms: float | None = None) -> dict:
     """Real combined-mode throughput: Swarm.step on synthetic sequences
     (3 agents, EuRoC geometry, full server loop, no viewer)."""
     import numpy as np
@@ -76,6 +77,7 @@ def bench_swarm_step(budget_s: float = 420.0) -> dict:
         done += 1
         if time.perf_counter() - t_start > budget_s:
             break
+    stats_snapshot = STATS.summary()  # before finish() pollutes the window
     swarm.finish()
     # steady state: skip the init/compile-heavy first third
     steady = times[min(steady_from, max(done - 1, 1)):] or times
@@ -86,17 +88,27 @@ def bench_swarm_step(budget_s: float = 420.0) -> dict:
     p50 = statistics.median(tail)
     p95 = tail[min(int(0.95 * len(tail)), len(tail) - 1)]
     tracked = min(a.frames_tracked for a in swarm.agents)
-    # honest transfer accounting: RPCs per steady frame x measured tunnel
-    # floor = latency a real (PCIe-attached) TPU host would not pay
-    s = STATS.summary()
-    # only BLOCKING round trips (device_get) pay the tunnel floor —
-    # uploads and dispatches pipeline asynchronously (measured: the whole
-    # 7-array h2d stage costs ~6 ms, not 7 x floor)
+    # Honest transfer accounting.  Only BLOCKING device_get round trips
+    # pay the tunnel (uploads/dispatches pipeline asynchronously; the
+    # whole 7-array h2d stage measures ~6 ms, not 7x the floor).  The
+    # tunnel-adjusted estimate replaces the MAIN-LOOP's measured blocking
+    # fetch wall time (which on this container is ~30-80 ms of RPC per
+    # round trip) with the device-resident cost a PCIe-attached host
+    # pays: the independently measured fused-step device time
+    # (`device_step_ms`, from the headline bench on the same program)
+    # plus a 1 ms/fetch transfer allowance.
+    s = stats_snapshot
     rpcs = s.get("rpc_fetch", {}).get("count", 0)
     rpc_per_frame = rpcs / max(n_steady, 1)
+    main_fetches = s.get("fetch_wall_main", {}).get("count", 0)
+    fetch_main_ms = (s.get("fetch_wall_main", {}).get("total_s", 0.0)
+                     * 1e3 / max(n_steady, 1))
+    main_per_frame = main_fetches / max(n_steady, 1)
     floor = measure_rpc_floor()
     floor_ms = floor["rpc_dispatch_fetch_ms"]
-    adj_ms = max(p50 * 1e3 - rpc_per_frame * floor_ms, 0.5)
+    dev_ms = device_step_ms if device_step_ms is not None else 5.0
+    adj_ms = max(p50 * 1e3 - fetch_main_ms + dev_ms + main_per_frame * 1.0,
+                 0.5)
     return {
         "swarm_fps_per_agent": round(1.0 / p50, 2),
         "swarm_step_p50_ms": round(p50 * 1e3, 1),
@@ -104,7 +116,9 @@ def bench_swarm_step(budget_s: float = 420.0) -> dict:
         "swarm_frames": done,
         "swarm_min_tracked": int(tracked),
         "swarm_rpcs_per_step": round(rpc_per_frame, 2),
+        "swarm_main_fetch_ms_per_step": round(fetch_main_ms, 1),
         "swarm_rpc_floor_ms": floor_ms,
+        "swarm_device_step_ms": round(dev_ms, 2),
         "swarm_step_p50_tunnel_adj_ms": round(adj_ms, 1),
         "swarm_fps_per_agent_tunnel_adj": round(1e3 / adj_ms, 1),
     }
@@ -142,7 +156,7 @@ def main() -> None:
 
     # warmup / compile
     out = step(batched)
-    jax.block_until_ready(out[0])
+    jax.block_until_ready(out[0].Tcw)
 
     best = 0.0
     for _ in range(3):
@@ -154,8 +168,8 @@ def main() -> None:
             # chain the pose output into the next input: forces honest
             # sequential device execution (an unchained loop lets the
             # runtime coalesce/drop un-awaited executions)
-            cur = cur._replace(Tcw_guess=out[0])
-        jax.block_until_ready(out[0])
+            cur = cur._replace(Tcw_guess=out[0].Tcw)
+        jax.block_until_ready(out[0].Tcw)
         dt = (time.perf_counter() - t0) / n_iter
         fps_per_agent = 1.0 / dt  # all agents advance one frame per step
         best = max(best, fps_per_agent)
@@ -168,7 +182,7 @@ def main() -> None:
     }
     # full-system measurement (Swarm.step); never fails the bench
     try:
-        record.update(bench_swarm_step())
+        record.update(bench_swarm_step(device_step_ms=1e3 / best))
         record["swarm_note"] = (
             "swarm numbers include ~30-80ms axon-tunnel RPC per "
             "dispatch/fetch that a real TPU host does not pay"

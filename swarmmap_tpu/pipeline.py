@@ -141,45 +141,85 @@ def make_multi_agent_step(
     n_levels: int = 8,
     scale: float = 1.2,
     hw: tuple[int, int] = (480, 752),
+    window_th: float = 15.0,
     mesh: jax.sharding.Mesh | None = None,
+    n_overlap_desc: int = 128,
 ):
     """vmapped (and optionally mesh-sharded) multi-agent tracking step.
 
-    With a mesh, agents shard across devices ('agents' axis) and a
-    cross-agent overlap statistic rides the ICI: every agent's descriptor
-    popcounts are all-gathered and reduced — the device-resident analogue
-    of the server's cross-agent place recognition fan-in."""
+    With a mesh, agents shard across devices ('agents' axis) and two
+    cross-agent stages ride the ICI (SURVEY.md §2.10 row 1):
+      - a psum of per-agent inlier counts (swarm-health fan-in), and
+      - a **cross-agent descriptor prefilter**: each agent's strongest
+        `n_overlap_desc` fresh descriptors are all_gathered over the
+        agent axis and Hamming-matched pairwise, yielding an [N,N]
+        overlap-hint matrix.  The host feeds it to the server's
+        place-recognition budget (AgentMediator::CheckOverlapCandidates
+        ranks its Sim3 attempts with it) — the device-resident analogue
+        of the reference's cross-agent database fan-in
+        (AgentMediator.cc:140-202).
+
+    Returns (TrackOutputs [agent-axis batched], overlap [N,N] i32,
+    total_inliers scalar); without a mesh overlap is computed with plain
+    batched ops (same semantics, no collectives)."""
 
     def one_agent(inp: TrackInputs):
-        out = tracking_step(
-            inp, n_features=n_features, n_levels=n_levels, scale=scale, hw=hw
+        return tracking_step(
+            inp, n_features=n_features, n_levels=n_levels, scale=scale,
+            hw=hw, window_th=window_th,
         )
-        return out.Tcw, out.n_inliers, out.match_mp
 
     batched = jax.vmap(one_agent)
+    D = n_overlap_desc
+
+    def pair_overlap(desc_l, valid_l, desc_all, valid_all):
+        """[L,D,8]x[N,D,8] -> [L,N] counts of descriptors with a Hamming
+        match < TH_LOW on the other agent's frame."""
+        x = jax.lax.population_count(
+            desc_l[:, None, :, None, :] ^ desc_all[None, :, None, :, :]
+        ).sum(-1).astype(jnp.int32)                      # [L,N,D,D]
+        x = jnp.where(valid_all[None, :, None, :], x, 256)
+        best = x.min(axis=3)                             # [L,N,D]
+        hit = (best < 50) & valid_l[:, None, :]
+        return hit.sum(-1).astype(jnp.int32)             # [L,N]
 
     if mesh is None:
-        return jax.jit(batched)
+
+        def plain(inputs: TrackInputs):
+            out = batched(inputs)
+            desc = out.features.desc[:, :D]
+            valid = out.features.valid[:, :D]
+            overlap = pair_overlap(desc, valid, desc, valid)
+            return out, overlap, out.n_inliers.sum()
+
+        return jax.jit(plain)
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def sharded(inputs: TrackInputs):
-        Tcw, n_inl, match = batched(inputs)
-        # cross-agent fan-in over ICI: global inlier statistics (psum over
-        # the agent-sharded axis via all_gather of the local results)
-        total = jax.lax.psum(n_inl.sum(), axis_name="agents")
-        return Tcw, n_inl, match, total
+        out = batched(inputs)
+        total = jax.lax.psum(out.n_inliers.sum(), axis_name="agents")
+        desc = out.features.desc[:, :D]
+        valid = out.features.valid[:, :D]
+        # the ICI stage: gather every agent's descriptor sample
+        desc_all = jax.lax.all_gather(desc, "agents", axis=0, tiled=True)
+        valid_all = jax.lax.all_gather(valid, "agents", axis=0, tiled=True)
+        overlap = pair_overlap(desc, valid, desc_all, valid_all)
+        return out, overlap, total
 
-    spec = TrackInputs(
-        image=P("agents"), Tcw_guess=P("agents"), K=P("agents"),
-        mp_pos=P("agents"), mp_desc=P("agents"), mp_max_dist=P("agents"),
-        mp_valid=P("agents"),
+    spec_in = TrackInputs(*([P("agents")] * len(TrackInputs._fields)))
+    feat_spec = extractor.FrameFeatures(
+        *([P("agents")] * len(extractor.FrameFeatures._fields))
+    )
+    spec_out = TrackOutputs(
+        Tcw=P("agents"), n_inliers=P("agents"), match_mp=P("agents"),
+        features=feat_spec,
     )
     fn = shard_map(
         sharded, mesh=mesh,
-        in_specs=(spec,),
-        out_specs=(P("agents"), P("agents"), P("agents"), P()),
+        in_specs=(spec_in,),
+        out_specs=(spec_out, P("agents"), P()),
         check_rep=False,
     )
     return jax.jit(fn)

@@ -64,6 +64,10 @@ class AgentMediator:
         # converges because consecutive queries return different members
         # of the same revisited area
         self.overlap_groups: list[tuple[int, set[int], int]] = []
+        # ICI cross-agent descriptor-overlap hint ({other map_id ->
+        # fraction of fresh descriptors with a match there}), fed by the
+        # mesh-sharded swarm step; ranks the Sim3 attempt budget
+        self.overlap_hint: dict[int, float] | None = None
         map_manager.register(self.store)
         AgentMediator.registry[map_id] = self
 
@@ -156,7 +160,15 @@ class AgentMediator:
                     score = Vocabulary.score(
                         bow, other.kfdb.bow.get(cand, {}))
                     approved.append((score, k, other_id, cand))
-        # phase 2: spend the budget best-first
+        # phase 2: spend the budget best-first; the device-computed
+        # overlap hint (all_gathered descriptor matches over the agent
+        # mesh) boosts pairs the ICI prefilter already saw agreeing
+        if self.overlap_hint:
+            approved = [
+                (score * (1.0 + self.overlap_hint.get(other_id, 0.0)),
+                 k, other_id, cand)
+                for score, k, other_id, cand in approved
+            ]
         approved.sort(reverse=True)
         for _score, k, other_id, cand in approved[:max_sim3_attempts]:
             other = AgentMediator.registry[other_id]

@@ -76,6 +76,11 @@ class SwarmConfig:
     # in step() (reference: MediatorScheduler::Run worker,
     # MediatorScheduler.cc:130-143). Default off for determinism.
     async_server: bool = False
+    # shard agents across a device mesh (SURVEY.md §2.10 row 1: the
+    # reference's one-thread-per-agent becomes agent data parallelism
+    # over ICI).  None = auto: on when the host exposes >1 device and
+    # the swarm has at least one agent per device.
+    mesh_agents: bool | None = None
 
 
 class Swarm:
@@ -120,6 +125,25 @@ class Swarm:
                 a.system.local_mapping.start_async()
         if self.config.async_server:
             self.scheduler.start_worker()
+        # agent mesh: shard the fused cohort across devices when there
+        # are enough devices AND agents (the production multi-chip path;
+        # the 'agents' axis carries the ICI overlap prefilter)
+        import jax
+
+        self.mesh = None
+        self._mesh_step = None
+        self.overlap_hint = None  # [N,N] cross-agent descriptor overlap
+        n_dev = len(jax.devices())
+        want_mesh = (self.config.mesh_agents
+                     if self.config.mesh_agents is not None
+                     else (n_dev > 1 and n_agents >= n_dev))
+        if want_mesh and n_dev > 1:
+            from .parallel.mesh import agent_mesh
+
+            d = max(x for x in range(1, n_dev + 1) if n_agents % x == 0)
+            self.mesh = agent_mesh(d)
+            _log.info("agent mesh: %d agents sharded over %d devices",
+                      n_agents, d)
         self.frame_count = 0
         self.fused_cohort_dispatches = 0  # frames where ALL steady agents ran as ONE dispatch
 
@@ -199,18 +223,49 @@ class Swarm:
 
         orb = self.settings.orb
         hw = tuple(live[fused[0][0]][1].shape[:2])
+        mesh_mode = self.mesh is not None
+        if mesh_mode:
+            # full-width batch (one row per agent; non-fused rows are
+            # dummies whose outputs are discarded) so the sharded program
+            # compiles once and every device holds its agents
+            rows = {id(live[i][0]): self.agents.index(live[i][0])
+                    for i, _, _ in fused}
+            n_rows = len(self.agents)
+        else:
+            rows = {id(live[i][0]): j for j, (i, _, _) in enumerate(fused)}
+            n_rows = len(fused)
         with STATS.stage("h2d"):
-            inputs = pipeline.TrackInputs(
-                *(jnp.asarray(np.stack([getattr(inp, f) for _, inp, _ in fused]))
-                  for f in pipeline.TrackInputs._fields)
-            )
+            ref_inp = fused[0][1]
+            stacked = []
+            for f in pipeline.TrackInputs._fields:
+                proto = getattr(ref_inp, f)
+                buf = np.zeros((n_rows,) + np.shape(proto),
+                               np.asarray(proto).dtype)
+                if f == "Tcw_guess":
+                    buf[:] = np.eye(4, dtype=np.float32)
+                elif f == "K":
+                    buf[:] = self.settings.camera.K.astype(np.float32)
+                for i, inp, _ in fused:
+                    buf[rows[id(live[i][0])]] = getattr(inp, f)
+                stacked.append(jnp.asarray(buf))
+            inputs = pipeline.TrackInputs(*stacked)
         with STATS.stage("dispatch"):
             STATS.bump("rpc_dispatch")
-            out = pipeline.batched_tracking_step(
-                inputs, n_features=orb.n_features, n_levels=orb.n_levels,
-                scale=orb.scale_factor, hw=hw,
-                window_th=self.agents[0].system.tracking.p.fused_window_th,
-            )
+            window_th = self.agents[0].system.tracking.p.fused_window_th
+            if mesh_mode:
+                if self._mesh_step is None:
+                    self._mesh_step = pipeline.make_multi_agent_step(
+                        n_features=orb.n_features, n_levels=orb.n_levels,
+                        scale=orb.scale_factor, hw=hw,
+                        window_th=window_th, mesh=self.mesh,
+                    )
+                out, overlap_dev, _total = self._mesh_step(inputs)
+            else:
+                out = pipeline.batched_tracking_step(
+                    inputs, n_features=orb.n_features, n_levels=orb.n_levels,
+                    scale=orb.scale_factor, hw=hw, window_th=window_th,
+                )
+                overlap_dev = None
         feats = out.features
         from .utils.device import fetch
 
@@ -219,15 +274,23 @@ class Swarm:
             # feature arrays stay device-resident behind per-agent lazy
             # providers and leave the device only on keyframe / fallback
             # frames (~1 in 4-20)
-            Tcw_b, ninl_b, match_b = (
-                np.asarray(x)
-                for x in fetch(out.Tcw, out.n_inliers, out.match_mp)
-            )
+            if overlap_dev is not None:
+                Tcw_b, ninl_b, match_b, overlap = (
+                    np.asarray(x) for x in fetch(
+                        out.Tcw, out.n_inliers, out.match_mp, overlap_dev)
+                )
+                self._update_overlap_hint(overlap, rows)
+            else:
+                Tcw_b, ninl_b, match_b = (
+                    np.asarray(x)
+                    for x in fetch(out.Tcw, out.n_inliers, out.match_mp)
+                )
         self.fused_cohort_dispatches += 1
         with STATS.stage("commit"):
-            for j, (i, _inp, slots) in enumerate(fused):
+            for i, _inp, slots in fused:
                 agent, img = live[i]
                 tr = agent.system.tracking
+                j = rows[id(agent)]
 
                 def provider(j=j):
                     return fetch(
@@ -240,6 +303,21 @@ class Swarm:
                 pose = tr.finish_frame(frame, ts)
                 if pose is not None:
                     agent.frames_tracked += 1
+
+    def _update_overlap_hint(self, overlap: np.ndarray, rows: dict):
+        """Feed the ICI cross-agent descriptor-overlap matrix to the
+        server's place-recognition budget (it ranks Sim3 attempts)."""
+        self.overlap_hint = overlap
+        n = overlap.shape[1]
+        for agent in self.agents:
+            j = rows.get(id(agent))
+            if j is None:
+                continue
+            med = self.mediators[agent.agent_id] if agent.agent_id < len(self.mediators) else None
+            if med is not None:
+                med.overlap_hint = {
+                    o: float(overlap[j, o]) / 128.0 for o in range(n) if o != j
+                }
 
     def sync(self):
         """Push all agents' deltas, run the scheduler, deliver replies.

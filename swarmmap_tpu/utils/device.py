@@ -17,9 +17,19 @@ from .stats import STATS
 def fetch(*arrays):
     """Transfer any number of device arrays (or pytrees) to host numpy in
     ONE batched round trip.  Returns a tuple matching the inputs (or the
-    single object if one argument)."""
+    single object if one argument).  Wall time is recorded per call (and
+    separately for the main thread) — the accounting behind bench.py's
+    tunnel-adjusted estimate."""
+    import threading
+    import time
+
     STATS.bump("rpc_fetch")
+    t0 = time.perf_counter()
     out = jax.device_get(arrays if len(arrays) > 1 else arrays[0])
+    dt = time.perf_counter() - t0
+    STATS.times["fetch_wall"].append(dt)
+    if threading.current_thread() is threading.main_thread():
+        STATS.times["fetch_wall_main"].append(dt)
     return out
 
 

@@ -207,3 +207,41 @@ def test_fully_async_combined_mode():
         assert a.frames_tracked > 0.8 * n_frames, a.frames_tracked
     for med in swarm.mediators:
         assert len(med.store.kf_by_gid) >= 2
+
+
+def test_mesh_sharded_swarm_with_merge():
+    """8 agents sharded one-per-device over the virtual 8-CPU mesh (the
+    production multi-chip path, SURVEY.md §2.10 row 1): the cohort runs
+    through the shard_map'd program, the ICI descriptor-overlap hint
+    reaches the mediators, and cross-agent merging still happens."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh (conftest)")
+    hw = (240, 320)
+    n_frames = 24
+    n_agents = 8
+    seqs = [
+        datasets.synthesize_sequence(n_frames=n_frames, hw=hw, seed=0,
+                                     agent=a % 3, n_points=350)
+        for a in range(n_agents)
+    ]
+    settings = make_settings(seqs[0].world, hw)
+    swarm = Swarm(n_agents, settings,
+                  config=SwarmConfig(push_every=8, report_every=4),
+                  run_server_gba=False)
+    assert swarm.mesh is not None, "8 agents on 8 devices must build a mesh"
+    assert swarm.mesh.devices.size == 8
+    for i in range(n_frames):
+        swarm.step([s.read(i) for s in seqs], seqs[0].timestamps[i])
+    swarm.finish()
+    tracked = [a.frames_tracked for a in swarm.agents]
+    assert sum(t > 0.5 * n_frames for t in tracked) >= 6, tracked
+    assert swarm.fused_cohort_dispatches > 0, "mesh cohort never dispatched"
+    # the ICI overlap prefilter reached the server side
+    assert swarm.overlap_hint is not None
+    assert swarm.overlap_hint.shape == (n_agents, n_agents)
+    assert any(m.overlap_hint for m in swarm.mediators)
+    # same-world agents must merge into a multi-map group
+    biggest = max(swarm.merged_groups(), key=len)
+    assert len(biggest) >= 2, f"no merge: {swarm.merged_groups()}"

@@ -67,6 +67,7 @@ def main():
         t0 = time.perf_counter()
         swarm.step([s.read(i) for s in seqs], float(seqs[0].timestamps[i]))
         times.append(time.perf_counter() - t0)
+    swarm.finish()
     tail = sorted(times)
     p50 = tail[len(tail) // 2]
     n_steady = len(times)
