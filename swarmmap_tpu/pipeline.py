@@ -220,7 +220,7 @@ def make_multi_agent_step(
         sharded, mesh=mesh,
         in_specs=(spec_in,),
         out_specs=(spec_out, P("agents"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 

@@ -60,8 +60,29 @@ class SwarmAgent:
 
     def receive_distribute(self, payload: bytes):
         sl = codec.decode_slice(payload)
-        with self.system.store.lock:  # vs. async local mapping worker
+        tr = self.system.tracking
+        st = self.system.store
+        with st.lock:  # vs. async local mapping worker
+            # a distribute may REBASE the map (merge/GBA rewrites poses,
+            # reference: MediatorScheduler::MapDistribute) — carry the
+            # tracker's frame-to-frame state across it via the reference
+            # keyframe's pose change, else the motion model goes stale
+            # and the agent drops to relocalization
+            ref = tr.ref_kf
+            T_ref_old = (st.kf_pose_cw[ref].copy()
+                         if 0 <= ref < st.n_kf and st.kf_alive[ref] else None)
             self.mapit.apply_slice(sl, vocab=self.vocab)
+            if (T_ref_old is not None
+                    and not np.allclose(st.kf_pose_cw[ref], T_ref_old,
+                                        atol=1e-6)):
+                T_ref_new = st.kf_pose_cw[ref]
+                rel = None
+                if tr.last_frame is not None and tr.last_frame.pose_cw is not None:
+                    rel = tr.last_frame.pose_cw @ np.linalg.inv(T_ref_old)
+                    tr.last_frame.pose_cw = (rel @ T_ref_new).astype(np.float32)
+                # scale may have changed: the motion model is invalid;
+                # next frame re-anchors on the reference keyframe
+                tr.velocity = None
 
 
 @dataclasses.dataclass

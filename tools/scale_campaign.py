@@ -1,0 +1,179 @@
+"""Reference-scale synthetic campaign (VERDICT r2 item 2).
+
+5 agents on a shared rendered world at EuRoC geometry (480x752, 1000
+features, 8 levels), >=300 frames each on loop circuits — the scale of
+the reference's mh12345 configuration (/root/reference/config/
+mh12345.yaml) that the unit-scale e2e tests never reach.  Exercises
+culling, restoration queues, covisibility rebuild, loop closing, GBA,
+scoring, and cross-agent merging at hundreds of keyframes / tens of
+thousands of points, and asserts:
+
+  - every agent tracks >=85% of its frames
+  - total map size reaches >=300 alive KFs and >=30k observations
+  - >=2 loop closures fire across the swarm
+  - at least one map group merges >=3 maps
+  - per-agent ATE RMSE < 5% of trajectory span
+  - merged-group global trajectories < 5% of span
+
+Writes SCALE_r03.json at the repo root and exits nonzero on any failed
+assertion.  Run on the TPU (tunnel) or any backend:
+
+    python tools/scale_campaign.py            # full (5 agents x 300)
+    SCALE_FRAMES=80 python tools/scale_campaign.py   # smoke
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.makedirs(cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+from swarmmap_tpu import MAP_BASE  # noqa: E402
+from swarmmap_tpu.swarm import Swarm, SwarmConfig  # noqa: E402
+from swarmmap_tpu.utils import datasets  # noqa: E402
+from swarmmap_tpu.utils.config import CameraConfig, OrbConfig, Settings  # noqa: E402
+from swarmmap_tpu.utils.trajectory import ate_rmse  # noqa: E402
+
+N_AGENTS = int(os.environ.get("SCALE_AGENTS", "5"))
+N_FRAMES = int(os.environ.get("SCALE_FRAMES", "300"))
+HW = (480, 752)
+N_POINTS = int(os.environ.get("SCALE_POINTS", "2600"))
+
+
+def main() -> int:
+    t_wall = time.time()
+    print(f"rendering {N_AGENTS} x {N_FRAMES} frames at {HW} ...", flush=True)
+    seqs = [
+        datasets.synthesize_sequence(
+            n_frames=N_FRAMES, hw=HW, seed=7, agent=a, n_points=N_POINTS,
+            motion="circuit",
+        )
+        for a in range(N_AGENTS)
+    ]
+    w = seqs[0].world
+    settings = Settings(
+        camera=CameraConfig(
+            fx=float(w.K[0, 0]), fy=float(w.K[1, 1]),
+            cx=float(w.K[0, 2]), cy=float(w.K[1, 2]),
+            fps=20.0, width=HW[1], height=HW[0],
+        ),
+        orb=OrbConfig(n_features=1000, n_levels=8),
+    )
+    swarm = Swarm(N_AGENTS, settings,
+                  config=SwarmConfig(push_every=20, report_every=10,
+                                     async_mapping=True, async_server=True),
+                  run_server_gba=True)
+    t0 = time.time()
+    for i in range(N_FRAMES):
+        swarm.step([s.read(i) for s in seqs], float(seqs[0].timestamps[i]))
+        if (i + 1) % 50 == 0:
+            print(f"  frame {i+1}/{N_FRAMES}  "
+                  f"tracked={[a.frames_tracked for a in swarm.agents]}",
+                  flush=True)
+    for a in swarm.agents:
+        a.system.local_mapping.wait_idle(timeout=120)
+    swarm.finish()
+    run_s = time.time() - t0
+
+    results: dict = {
+        "n_agents": N_AGENTS, "n_frames": N_FRAMES, "hw": list(HW),
+        "run_s": round(run_s, 1),
+        "fps_per_agent": round(N_FRAMES / run_s, 2),
+    }
+    failures: list[str] = []
+
+    def check(name, ok, detail):
+        results[name] = detail
+        if not ok:
+            failures.append(f"{name}: {detail}")
+        print(("PASS " if ok else "FAIL ") + f"{name}: {detail}", flush=True)
+
+    # 1. tracking coverage
+    tracked = [a.frames_tracked for a in swarm.agents]
+    check("tracked_frames", min(tracked) >= 0.85 * N_FRAMES, tracked)
+
+    # 2. map scale
+    n_kf = sum(int(a.system.store.kf_alive[: a.system.store.n_kf].sum())
+               for a in swarm.agents)
+    n_mp = sum(int(a.system.store.mp_alive[: a.system.store.n_mp].sum())
+               for a in swarm.agents)
+    n_obs = sum(int(a.system.store.obs_alive[: a.system.store.obs_n].sum())
+                for a in swarm.agents)
+    check("map_scale", n_kf >= 300 and n_obs >= 30000,
+          {"alive_kfs": n_kf, "alive_mps": n_mp, "alive_obs": n_obs})
+
+    # 3. loop closures across the swarm (server-side loop closers)
+    n_loops = sum(m.loop_closing.n_loops_closed for m in swarm.mediators)
+    check("loop_closures", n_loops >= 2, n_loops)
+
+    # 4. multi-map merge
+    groups = swarm.merged_groups()
+    biggest = max(groups, key=len)
+    check("merged_group", len(biggest) >= 3,
+          {"groups": [sorted(g) for g in groups]})
+
+    # 5. per-agent ATE < 5% of span
+    ates = {}
+    for a, seq in zip(swarm.agents, seqs):
+        traj = a.system.tracking.trajectory
+        est, gt = [], []
+        for ts, Twc in traj:
+            fi = int(round(ts * 20))
+            if fi < N_FRAMES:
+                est.append(Twc[:3, 3])
+                gt.append(seq.world.poses_wc[fi][:3, 3])
+        est, gt = np.stack(est), np.stack(gt)
+        rmse = ate_rmse(est, gt)
+        span = float(np.linalg.norm(gt.max(0) - gt.min(0)))
+        ates[a.agent_id] = {"ate": round(rmse, 3), "span": round(span, 2),
+                            "pct": round(100 * rmse / span, 2)}
+    check("agent_ate", all(v["pct"] < 5.0 for v in ates.values()), ates)
+
+    # 6. merged-group ATE in the GLOBAL frame: server keyframe poses of
+    # every map in the biggest group, mapped through Twl, against truth
+    g_est, g_gt = [], []
+    for mid in biggest:
+        med = swarm.mediators[mid]
+        st = med.store
+        seq = seqs[mid]
+        for k in st.alive_kf_slots():
+            gid = int(st.kf_gid[k])
+            if gid // MAP_BASE != mid:
+                continue  # foreign (fused) keyframes counted by their owner
+            fi = int(round(st.kf_ts[k] * 20))
+            if fi >= N_FRAMES:
+                continue
+            Twc = np.linalg.inv(st.kf_global_pose(k))
+            g_est.append(Twc[:3, 3])
+            g_gt.append(seq.world.poses_wc[fi][:3, 3])
+    g_est, g_gt = np.stack(g_est), np.stack(g_gt)
+    g_rmse = ate_rmse(g_est, g_gt)
+    g_span = float(np.linalg.norm(g_gt.max(0) - g_gt.min(0)))
+    check("group_ate",
+          g_rmse < 0.05 * g_span,
+          {"ate": round(g_rmse, 3), "span": round(g_span, 2),
+           "pct": round(100 * g_rmse / g_span, 2),
+           "n_kfs": len(g_est)})
+
+    results["wall_s_total"] = round(time.time() - t_wall, 1)
+    results["ok"] = not failures
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALE_r03.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({k: results[k] for k in
+                      ("ok", "run_s", "fps_per_agent")}), flush=True)
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
