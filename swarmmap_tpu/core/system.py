@@ -116,6 +116,8 @@ class System:
             stamps.append(st.kf_ts[k])
         if poses:
             save_tum(path, np.asarray(stamps), np.stack(poses))
+        else:  # reference opens the ofstream unconditionally
+            Path(path).write_text("")
 
     def save_frame_trajectory_tum(self, path: str | Path):
         tr = self.tracking.trajectory
@@ -123,3 +125,5 @@ class System:
             stamps = np.asarray([t for t, _ in tr])
             poses = np.stack([T for _, T in tr])
             save_tum(path, stamps, poses)
+        else:
+            Path(path).write_text("")
