@@ -28,6 +28,148 @@ DYNAMIC_VOTE_TH = 3       # votes needed to flag a point dynamic
 VOTE_RATIO = 2.0          # dynamic votes must dominate static by this
 
 
+# ---------------------------------------------------------------------------
+# Optical flow (pyramidal Lucas-Kanade) + mask propagation
+# (reference: DynamicExtractor.h:40-53 propagates Mask-RCNN masks with
+# optical flow between segmented frames)
+# ---------------------------------------------------------------------------
+
+def _downsample(img: np.ndarray) -> np.ndarray:
+    h, w = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
+    x = img[:h, :w].astype(np.float32)
+    return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2])
+
+
+def _grad(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    gx = np.zeros_like(img)
+    gy = np.zeros_like(img)
+    gx[:, 1:-1] = 0.5 * (img[:, 2:] - img[:, :-2])
+    gy[1:-1, :] = 0.5 * (img[2:, :] - img[:-2, :])
+    return gx, gy
+
+
+def _patch(img: np.ndarray, x: float, y: float, r: int) -> np.ndarray | None:
+    """Bilinear window of half-size r centered at (x, y); None off-image."""
+    h, w = img.shape
+    if not (r + 1 <= x < w - r - 2 and r + 1 <= y < h - r - 2):
+        return None
+    x0, y0 = int(np.floor(x)), int(np.floor(y))
+    ax, ay = x - x0, y - y0
+    win = img[y0 - r: y0 + r + 2, x0 - r: x0 + r + 2]
+    top = (1 - ax) * win[:-1, :-1] + ax * win[:-1, 1:]
+    bot = (1 - ax) * win[1:, :-1] + ax * win[1:, 1:]
+    return (1 - ay) * top + ay * bot
+
+
+def lk_flow(prev: np.ndarray, nxt: np.ndarray, pts: np.ndarray,
+            win: int = 7, iters: int = 8, levels: int = 3,
+            ) -> tuple[np.ndarray, np.ndarray]:
+    """Pyramidal Lucas-Kanade at [N,2] (x, y) points.
+    Returns ([N,2] flow, [N] converged)."""
+    prev_pyr = [prev.astype(np.float32)]
+    next_pyr = [nxt.astype(np.float32)]
+    for _ in range(levels - 1):
+        prev_pyr.append(_downsample(prev_pyr[-1]))
+        next_pyr.append(_downsample(next_pyr[-1]))
+    r = win // 2
+    n = len(pts)
+    flow = np.zeros((n, 2), np.float32)
+    ok = np.zeros(n, bool)
+    grads = [_grad(p) for p in prev_pyr]
+    for i in range(n):
+        g = np.zeros(2, np.float32)  # accumulated flow (finest scale)
+        good = False
+        for lvl in range(levels - 1, -1, -1):
+            s = 0.5 ** lvl
+            x, y = pts[i, 0] * s, pts[i, 1] * s
+            P = _patch(prev_pyr[lvl], x, y, r)
+            if P is None:
+                continue
+            Gx = _patch(grads[lvl][0], x, y, r)
+            Gy = _patch(grads[lvl][1], x, y, r)
+            A = np.array([[np.sum(Gx * Gx), np.sum(Gx * Gy)],
+                          [np.sum(Gx * Gy), np.sum(Gy * Gy)]])
+            if np.linalg.det(A) < 1e-4:
+                continue
+            Ainv = np.linalg.inv(A)
+            d = g * s
+            conv = False
+            for _ in range(iters):
+                Q = _patch(next_pyr[lvl], x + d[0], y + d[1], r)
+                if Q is None:
+                    break
+                e = Q - P
+                step = Ainv @ np.array([np.sum(Gx * e), np.sum(Gy * e)])
+                d -= step
+                if np.abs(step).max() < 0.03:
+                    conv = True
+                    break
+            g = d / s
+            good = good or conv
+        flow[i] = g
+        ok[i] = good and np.abs(g).max() < 0.5 * min(prev.shape)
+    return flow, ok
+
+
+def propagate_mask(prev_img: np.ndarray, next_img: np.ndarray,
+                   mask: np.ndarray, grid_step: int = 8) -> np.ndarray:
+    """Warp a boolean object mask to the next frame: track a grid of
+    in-mask points with LK and re-stamp disks at their new positions
+    (reference: the optical-flow mask propagation of
+    DynamicExtractor.h:40-53)."""
+    ys, xs = np.mgrid[grid_step // 2: mask.shape[0]: grid_step,
+                      grid_step // 2: mask.shape[1]: grid_step]
+    inside = mask[ys, xs]
+    pts = np.stack([xs[inside], ys[inside]], 1).astype(np.float32)
+    if not len(pts):
+        return np.zeros_like(mask)
+    flow, ok = lk_flow(prev_img, next_img, pts)
+    if ok.sum() < 3:
+        return mask.copy()  # flow failed: reuse the last mask
+    moved = pts[ok] + flow[ok]
+    out = np.zeros_like(mask)
+    r = grid_step  # disk radius covers the grid spacing
+    h, w = mask.shape
+    for x, y in moved:
+        x0, x1 = int(max(x - r, 0)), int(min(x + r + 1, w))
+        y0, y1 = int(max(y - r, 0)), int(min(y + r + 1, h))
+        if x0 < x1 and y0 < y1:
+            out[y0:y1, x0:x1] = True
+    return out
+
+
+class DynamicExtractor:
+    """Mask source with the reference's cadence (DynamicExtractor.cc):
+    run the (expensive) segmenter every `segment_every` frames and
+    propagate the mask with optical flow in between.
+
+    `segment_fn(image) -> bool mask [H,W]` is the model hook — plug a
+    cv2.dnn / ONNX Mask-RCNN here (the reference loads one through
+    cv::dnn; no weights ship in this container).  Example:
+
+        net = cv2.dnn.readNetFromONNX("maskrcnn.onnx")
+        def segment(img): ...  # forward + threshold person/vehicle ids
+        ex = DynamicExtractor(segment, segment_every=5)
+    """
+
+    def __init__(self, segment_fn: Callable[[np.ndarray], np.ndarray],
+                 segment_every: int = 5):
+        self.segment_fn = segment_fn
+        self.segment_every = segment_every
+        self._count = 0
+        self._mask: np.ndarray | None = None
+        self._prev: np.ndarray | None = None
+
+    def mask_for(self, image: np.ndarray) -> np.ndarray:
+        if self._mask is None or self._count % self.segment_every == 0:
+            self._mask = np.asarray(self.segment_fn(image), bool)
+        else:
+            self._mask = propagate_mask(self._prev, image, self._mask)
+        self._prev = image
+        self._count += 1
+        return self._mask
+
+
 class DynamicVotes:
     """Per-map dynamic/static vote ledger (MapPoint.h:129-132 analogue)."""
 
@@ -59,10 +201,14 @@ class DynamicRunner:
     points via the segmenter mask (reference: DynamicRunner singleton)."""
 
     def __init__(self, store: MapStore,
-                 segment_fn: Callable[[np.ndarray], np.ndarray] | None = None):
+                 segment_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+                 extractor: "DynamicExtractor | None" = None):
         self.store = store
         self.votes = DynamicVotes(store)
         self.segment_fn = segment_fn
+        # a DynamicExtractor adds the reference's segment-every-N +
+        # flow-propagate-in-between cadence on top of segment_fn
+        self.extractor = extractor
         self._heap: list[tuple[float, int, np.ndarray]] = []
         self._seq = 0
 
@@ -73,7 +219,7 @@ class DynamicRunner:
     def process(self, max_items: int = 4) -> int:
         """Run the segmenter over the highest-priority keyframes and vote
         their observed points."""
-        if self.segment_fn is None:
+        if self.segment_fn is None and self.extractor is None:
             return 0
         st = self.store
         n = 0
@@ -81,7 +227,8 @@ class DynamicRunner:
             _, _, k, image = heapq.heappop(self._heap)
             if not st.kf_alive[k]:
                 continue
-            mask = self.segment_fn(image)
+            mask = (self.extractor.mask_for(image)
+                    if self.extractor is not None else self.segment_fn(image))
             uv = st.kf_kp_uv[k]
             mp = st.kf_kp_mp[k]
             has = (mp != NO_MP) & st.kf_kp_valid[k]
