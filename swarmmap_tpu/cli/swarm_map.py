@@ -32,6 +32,18 @@ def main(argv=None):
                            report_every=max(int(0.5 * fps), 1)),
     )
 
+    # SWARMMAP_LIVE_DIR=<dir>: stream JSONL snapshots + an auto-
+    # refreshing live.html so the run can be watched in a browser
+    # (reference: the Pangolin Viewer thread, src/Viewer.cc)
+    import os
+
+    live = None
+    if os.environ.get("SWARMMAP_LIVE_DIR"):
+        from ..viz.live import LiveStream
+
+        live = LiveStream(os.environ["SWARMMAP_LIVE_DIR"])
+        _log.info("live view: open %s/live.html", os.environ["SWARMMAP_LIVE_DIR"])
+
     n_frames = min(len(s) for s in seqs)
     t0 = time.time()
     lat = []
@@ -42,6 +54,8 @@ def main(argv=None):
                 swarm.step([s.read(i) for s in seqs],
                            float(seqs[0].timestamps[i]))
             lat.append(time.time() - ts)
+            if live is not None and i % swarm.config.report_every == 0:
+                live.emit(swarm)
             if i % 50 == 0:
                 _log.info(
                     "frame %d/%d | %s", i, n_frames,

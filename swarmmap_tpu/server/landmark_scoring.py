@@ -44,13 +44,29 @@ class LandmarkScoring:
         st = self.store
         now = global_clock()
         n = len(slots)
+        # observer centers via the array obs table (the dict walk was a
+        # wall at 50k observations): group rows by point, take the first
+        # MAX_OBSERVERS observers of each
+        lut = np.full(st.n_mp, -1, np.int32)
+        lut[slots] = np.arange(n, dtype=np.int32)
+        om, okf, _ = st.obs_arrays()
+        sel = np.where(lut[om] >= 0)[0]
+        g = lut[om[sel]]
+        order = np.argsort(g, kind="stable")
+        gs, kf_sorted = g[order], okf[sel][order]
+        counts = np.bincount(gs, minlength=n).astype(np.int32)
+        starts = np.searchsorted(gs, np.arange(n))
+        R = st.kf_pose_cw[: st.n_kf, :3, :3]
+        t = st.kf_pose_cw[: st.n_kf, :3, 3]
+        kf_centers = -np.einsum("kji,kj->ki", R, t)
         centers = np.zeros((n, MAX_OBSERVERS, 3), np.float32)
-        counts = np.zeros(n, np.int32)
-        for i, m in enumerate(slots):
-            ob = list(st.obs.get(int(m), {}))[:MAX_OBSERVERS]
-            counts[i] = len(st.obs.get(int(m), {}))
-            for j, k in enumerate(ob):
-                centers[i, j] = st.kf_center(k)
+        for j in range(MAX_OBSERVERS):
+            idx = starts + j
+            ok = idx < starts + counts
+            idx = np.minimum(idx, len(gs) - 1) if len(gs) else idx
+            if not len(gs):
+                break
+            centers[ok, j] = kf_centers[kf_sorted[idx[ok]]]
         pos = st.mp_pos[slots]
         age = np.maximum(now - st.mp_created[slots], 1e-3)
         upd_freq = st.mp_update_count[slots] / age
@@ -96,14 +112,21 @@ class LandmarkScoring:
         # recency counts against the score (stale points decay)
         weights = np.array([1, 1, 0.5, -1, 0.5, 1, 1], np.float32)
         self.mp_scores = Fn @ weights
-        # keyframe scores = mean of observed points' scores
-        score_by_slot = dict(zip(slots.tolist(), self.mp_scores.tolist()))
-        self.kf_scores = {}
-        for k in st.alive_kf_slots():
-            mps = st.kf_kp_mp[k]
-            vals = [score_by_slot[int(m)] for m in mps[mps >= 0]
-                    if int(m) in score_by_slot]
-            self.kf_scores[int(k)] = float(np.mean(vals)) if vals else 0.0
+        # keyframe scores = mean of observed points' scores (vectorized
+        # over all keyframe rows)
+        lut = np.full(st.n_mp, -1, np.int32)
+        lut[slots] = np.arange(len(slots), dtype=np.int32)
+        kfs = st.alive_kf_slots()
+        rows = st.kf_kp_mp[kfs]
+        val = lut[np.clip(rows, 0, max(st.n_mp - 1, 0))]
+        ok = (rows >= 0) & (val >= 0)
+        scores_pad = np.concatenate([self.mp_scores, [0.0]]).astype(np.float32)
+        sums = np.where(ok, scores_pad[np.where(ok, val, -1)], 0.0).sum(1)
+        cnt = ok.sum(1)
+        self.kf_scores = {
+            int(k): float(s / c) if c else 0.0
+            for k, s, c in zip(kfs, sums, cnt)
+        }
         return self.mp_scores
 
     def request_priority(self, n_new_elements: int, dt: float = 2.0) -> float:

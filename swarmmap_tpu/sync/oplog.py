@@ -389,21 +389,3 @@ def full_archive(store: MapStore) -> MapSlice:
     return sl
 
 
-def distribute_slice(store: MapStore, group_stores: list[MapStore] | None = None) -> MapSlice:
-    """Server->client update: rewrite every pose/position into the map
-    group's base frame as SetPose/SetWorldPos updates
-    (reference: MediatorScheduler::MapDistribute, MediatorScheduler.cc:155-202)."""
-    seq = itertools.count()
-    updates = []
-    for k in store.alive_kf_slots():
-        updates.append(UpdateRecord(next(seq), "kf", "SetPose",
-                                    int(store.kf_gid[k]),
-                                    (store.kf_pose_cw[k].copy(),)))
-    for m in store.alive_mp_slots():
-        updates.append(UpdateRecord(next(seq), "mp", "SetWorldPos",
-                                    int(store.mp_gid[m]),
-                                    (store.mp_pos[m].copy(),)))
-    twl = None
-    if store.Twl_s != 1.0 or not np.allclose(store.Twl_R, np.eye(3)):
-        twl = (store.Twl_R.copy(), store.Twl_t.copy(), float(store.Twl_s))
-    return MapSlice(map_id=store.map_id, kfs=[], mps=[], updates=updates, twl=twl)

@@ -49,8 +49,25 @@ HW = (480, 752)
 N_POINTS = int(os.environ.get("SCALE_POINTS", "2600"))
 
 
-def main() -> int:
-    t_wall = time.time()
+def _render_sequences():
+    """Render (or reload from cache — retries after a wedged tunnel
+    shouldn't pay the ~5 min of rendering again)."""
+    cache = os.environ.get("SCALE_CACHE", "/tmp/scale_frames.npz")
+    key = f"{N_AGENTS}x{N_FRAMES}x{HW}x{N_POINTS}"
+    if cache and os.path.exists(cache):
+        z = np.load(cache, allow_pickle=True)
+        if str(z["key"]) == key:
+            print("loading cached frames", flush=True)
+            seqs = []
+            for a in range(N_AGENTS):
+                w = datasets.make_world(
+                    n_points=N_POINTS, n_frames=N_FRAMES, hw=HW, seed=7,
+                    agent=a, motion="circuit")
+                seq = datasets.ImageSequence(
+                    paths=[], timestamps=z[f"ts{a}"], frames=z[f"f{a}"])
+                seq.world = w
+                seqs.append(seq)
+            return seqs
     print(f"rendering {N_AGENTS} x {N_FRAMES} frames at {HW} ...", flush=True)
     seqs = [
         datasets.synthesize_sequence(
@@ -59,6 +76,37 @@ def main() -> int:
         )
         for a in range(N_AGENTS)
     ]
+    if cache:
+        np.savez_compressed(
+            cache, key=key,
+            **{f"f{a}": seqs[a].frames for a in range(N_AGENTS)},
+            **{f"ts{a}": seqs[a].timestamps for a in range(N_AGENTS)},
+        )
+    return seqs
+
+
+def main() -> int:
+    t_wall = time.time()
+    # the tunneled backend occasionally wedges forever at first contact;
+    # fail fast so the retry wrapper can relaunch cheaply
+    import threading
+
+    init_ok = threading.Event()
+
+    def _init_watchdog():
+        if not init_ok.wait(150):
+            print("init watchdog: device init wedged, exiting 99 for retry",
+                  flush=True)
+            os._exit(99)
+
+    threading.Thread(target=_init_watchdog, daemon=True).start()
+    import jax.numpy as jnp
+
+    jnp.zeros(4).block_until_ready()
+    init_ok.set()
+    print("device ok:", jax.default_backend(), flush=True)
+
+    seqs = _render_sequences()
     w = seqs[0].world
     settings = Settings(
         camera=CameraConfig(
