@@ -223,6 +223,11 @@ class Tracking:
             self.store.lock.release()
 
     def _prepare_fused_locked(self, st, image, pipeline):
+        # NOTE: the local-map bucket depends on last_frame.mp (the seed
+        # set moves every frame) and _collect_local_slots also refreshes
+        # self.ref_kf — it must run per frame.  A store.version-keyed
+        # cache was tried here and regressed circuit tracking; the
+        # per-frame cost is a handful of numpy gathers (<0.5 ms).
         slots = self._collect_local_slots()
         if len(slots) < 50:
             return None

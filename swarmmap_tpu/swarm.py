@@ -76,13 +76,22 @@ class SwarmAgent:
                     and not np.allclose(st.kf_pose_cw[ref], T_ref_old,
                                         atol=1e-6)):
                 T_ref_new = st.kf_pose_cw[ref]
-                rel = None
-                if tr.last_frame is not None and tr.last_frame.pose_cw is not None:
-                    rel = tr.last_frame.pose_cw @ np.linalg.inv(T_ref_old)
-                    tr.last_frame.pose_cw = (rel @ T_ref_new).astype(np.float32)
-                # scale may have changed: the motion model is invalid;
-                # next frame re-anchors on the reference keyframe
-                tr.velocity = None
+                # only a LARGE jump (merge rebase, loop correction) needs
+                # the carry — ordinary GBA refinements move poses by
+                # millimeters every push, and touching the tracker state
+                # for those measurably degrades tracking (the optimizer
+                # re-converges from the slightly-stale guess on its own)
+                D = T_ref_new @ np.linalg.inv(T_ref_old)
+                dt = float(np.linalg.norm(D[:3, 3]))
+                ang = float(np.arccos(np.clip(
+                    (np.trace(D[:3, :3]) - 1) / 2, -1, 1)))
+                if dt > 0.2 or ang > np.deg2rad(5.0):
+                    if (tr.last_frame is not None
+                            and tr.last_frame.pose_cw is not None):
+                        rel = tr.last_frame.pose_cw @ np.linalg.inv(T_ref_old)
+                        tr.last_frame.pose_cw = (rel @ T_ref_new).astype(
+                            np.float32)
+                    tr.velocity = None
 
 
 @dataclasses.dataclass

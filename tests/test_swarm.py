@@ -245,3 +245,68 @@ def test_mesh_sharded_swarm_with_merge():
     # same-world agents must merge into a multi-map group
     biggest = max(swarm.merged_groups(), key=len)
     assert len(biggest) >= 2, f"no merge: {swarm.merged_groups()}"
+
+
+def test_distribute_rebase_gate():
+    """A distribute that refines the reference KF pose by millimeters must
+    NOT touch the tracker's motion state (velocity / last-frame pose); a
+    large rebase (loop correction / merge-scale jump) must re-anchor the
+    last frame through the reference KF and invalidate the motion model.
+    Regression test for the 504e490 tracking-loss regression."""
+    from swarmmap_tpu.core.frame import Frame
+    from swarmmap_tpu.ops.vocab import default_vocabulary
+    from swarmmap_tpu.swarm import SwarmAgent
+    from swarmmap_tpu.sync import codec
+    from swarmmap_tpu.sync.oplog import MapSlice, UpdateRecord
+
+    hw = (240, 320)
+    settings = Settings(
+        camera=CameraConfig(fx=300.0, fy=300.0, cx=160.0, cy=120.0,
+                            fps=20.0, width=hw[1], height=hw[0]),
+        orb=OrbConfig(n_features=64, n_levels=2),
+    )
+    agent = SwarmAgent(0, settings, vocab=default_vocabulary())
+    st = agent.system.store
+    tr = agent.system.tracking
+    n = st.n_kp
+    rng = np.random.RandomState(3)
+    k = st.add_keyframe(
+        pose_cw=np.eye(4, dtype=np.float32),
+        K=np.array([[300, 0, 160], [0, 300, 120], [0, 0, 1]], np.float32),
+        kp_uv=rng.rand(n, 2).astype(np.float32) * 200,
+        kp_octave=np.zeros(n, np.int32),
+        kp_angle=np.zeros(n, np.float32),
+        kp_response=rng.rand(n).astype(np.float32),
+        kp_valid=np.ones(n, bool),
+        desc=rng.randint(0, 2**32, (n, 8), dtype=np.uint32),
+        ts=0.0, frame_id=0, hw=hw,
+    )
+    gid = int(st.kf_gid[k])
+    tr.ref_kf = k
+    lf = Frame.__new__(Frame)
+    lf.pose_cw = np.eye(4, dtype=np.float32)
+    tr.last_frame = lf
+    vel = np.eye(4, dtype=np.float32)
+    vel[0, 3] = 0.01
+    tr.velocity = vel.copy()
+
+    def distribute(pose):
+        sl = MapSlice(map_id=0, kfs=[], mps=[], updates=[
+            UpdateRecord(seq=0, kind="kf", func="SetPose", target=gid,
+                         args=(pose.astype(np.float32),))])
+        agent.receive_distribute(codec.encode_slice(sl))
+
+    # millimetric GBA refinement: tracker state untouched
+    small = np.eye(4, dtype=np.float32)
+    small[1, 3] = 0.002
+    distribute(small)
+    assert tr.velocity is not None
+    np.testing.assert_allclose(tr.last_frame.pose_cw, np.eye(4), atol=1e-7)
+
+    # large rebase: last frame re-anchored, motion model invalidated
+    big = np.eye(4, dtype=np.float32)
+    big[0, 3] = 1.5
+    distribute(big)
+    assert tr.velocity is None
+    # last_frame carried by the same rigid change the ref KF underwent
+    np.testing.assert_allclose(tr.last_frame.pose_cw[0, 3], 1.5, atol=1e-3)
