@@ -221,17 +221,32 @@ class LocalMapping:
         from ..utils.stats import STATS
 
         st = self.store
+        # reference backlog semantics (LocalMapping.cc:62-82): when new
+        # keyframes are already queued behind this one, run only the
+        # essential per-KF work (observations, culling, triangulation)
+        # and DEFER fuse + local BA to the keyframe that empties the
+        # queue.  Without this the async worker pays the full pipeline
+        # per backlogged KF, falls minutes behind, and the tracker
+        # starves (outruns the map) — the scale-campaign tracking-loss
+        # failure mode.
+        backlogged = bool(self.queue)
         with STATS.stage("lm_process_new"), st.lock:
             self._process_new_keyframe(k)
-        with STATS.stage("lm_cull_mps"), st.lock:
-            self._cull_map_points(k)
+        if not backlogged:
+            # culling must not run ahead of fuse: a just-triangulated
+            # point has n_obs=2 (its triangulating pair) until fuse adds
+            # the neighbor observations — culling it at age>=2 during a
+            # burst wipes the new map exactly when the tracker needs it
+            with STATS.stage("lm_cull_mps"), st.lock:
+                self._cull_map_points(k)
         with STATS.stage("lm_triangulate"):
             self._create_new_map_points(k)
-        with STATS.stage("lm_fuse"):
-            self._fuse_neighbors(k)
-        if st.kf_alive[: st.n_kf].sum() > 2:
-            with STATS.stage("lm_local_ba"):
-                self._local_ba(k)
+        if not backlogged:
+            with STATS.stage("lm_fuse"):
+                self._fuse_neighbors(k)
+            if st.kf_alive[: st.n_kf].sum() > 2:
+                with STATS.stage("lm_local_ba"):
+                    self._local_ba(k)
         with STATS.stage("lm_cull_kfs"), st.lock:
             self._cull_keyframes(k)
         # hand the KF to the (server-side) loop closer via the map event

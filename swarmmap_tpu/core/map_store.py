@@ -665,8 +665,24 @@ class MapStore:
         return self.Twl_s == 1.0 or (g.scale_lo <= ratio <= g.scale_hi)
 
     def set_transform(self, R: np.ndarray, t: np.ndarray, s: float,
-                      log: bool = True) -> bool:
-        """Guarded Twl update (reference: Map::SetTransform)."""
+                      log: bool = True, exact: bool = False) -> bool:
+        """Guarded Twl update (reference: Map::SetTransform).
+
+        `exact=True` bypasses the blend and sets the transform verbatim.
+        The blend is ONLY for repeated independent Sim3 ESTIMATES of the
+        same alignment (reference interpolate(), Map.cc:450).  Group
+        rebases (merge algebra) and replication of the authoritative
+        server value to a client replica must be exact — blending those
+        leaves each member a fraction of the rebase delta away from the
+        group frame and corrupts inter-map alignment by tens of degrees."""
+        if exact:
+            # exact callers carry their own guarantees: merge() dry-runs
+            # the scale guard across the whole group first, and replica
+            # application must follow the authoritative value even
+            # through a legitimate large jump the guard would reject
+            self.Twl_R, self.Twl_t, self.Twl_s = (
+                R.astype(np.float32), t.astype(np.float32), np.float32(s))
+            return True
         if not self.check_transform(s):
             ratio = s / max(float(self.Twl_s), 1e-12)
             _log.warning("rejecting scale jump %.3f on map %d", ratio, self.map_id)

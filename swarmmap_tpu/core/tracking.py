@@ -291,6 +291,9 @@ class Tracking:
         frame.mp[has] = slots[np.clip(match_local[has], 0, len(slots) - 1)]
         if n_inl < self.p.min_inliers_local:
             # fall back to the staged path with extraction reused
+            _log.info("fused step low inliers (%d < %d) at frame %d — "
+                      "staged fallback", n_inl, self.p.min_inliers_local,
+                      frame.frame_id)
             frame.ensure_features()
             self._track(frame)
             return frame
@@ -520,6 +523,16 @@ class Tracking:
             if self._need_new_keyframe(frame):
                 self._create_new_keyframe(frame)
         else:
+            if self.state != TrackingState.LOST:
+                st = self.store
+                _log.warning(
+                    "tracking LOST at frame %d: inliers=%d local_mps=%d "
+                    "alive_kfs=%d had_velocity=%s",
+                    frame.frame_id, self.matches_inliers,
+                    int((frame.mp != NO_MP).sum()),
+                    int(st.kf_alive[: st.n_kf].sum()),
+                    self.velocity is not None,
+                )
             self.state = TrackingState.LOST
             self.lost_count += 1
             self.velocity = None

@@ -315,7 +315,8 @@ class LoopClosing:
         return fused
 
     # ------------------------------------------------------------------
-    def global_ba(self, iters: int = 10, should_abort=None, chunk: int = 4):
+    def global_ba(self, iters: int = 10, should_abort=None, chunk: int = 4,
+                  soft_abort: bool = False):
         """Full-map BA (reference: RunGlobalBundleAdjustment, 10 LM
         iterations per server pass, MediatorScheduler.cc:122).
 
@@ -363,7 +364,24 @@ class LoopClosing:
         done = 0
         first = True
         while done < iters:
-            if should_abort is not None and should_abort():
+            if soft_abort and done == 0:
+                pass  # the first chunk ALWAYS runs: soft-abort callers
+                # (per-push scheduler GBA) need guaranteed forward
+                # progress — at production push rates a newer push is
+                # ALWAYS pending and a pre-chunk abort would starve GBA
+                # to 0 iterations forever
+            elif should_abort is not None and should_abort():
+                # soft abort (per-push scheduler GBA): a newer pending
+                # push caps the latency of THIS pass, but completed LM
+                # chunks are a valid improved map state — apply them
+                # instead of discarding, so GBA makes monotonic progress
+                # even when pushes always outpace the full 10 iterations.
+                # Hard abort (loop-closing mbStopGBA) still discards.
+                if soft_abort and done > 0:
+                    _log.info("GBA yielding after %d/%d iterations "
+                              "(new request) — applying partial result",
+                              done, iters)
+                    break
                 _log.info("GBA aborted after %d/%d iterations (new request)",
                           done, iters)
                 return
@@ -376,7 +394,8 @@ class LoopClosing:
             first = False
         Tn, pn = (np.asarray(x) for x in fetch(res.Tcw, res.pts))
         with st.lock:
-            if should_abort is not None and should_abort():
+            if (not soft_abort and should_abort is not None
+                    and should_abort()):
                 _log.info("GBA aborted before apply (new request)")
                 return
             if st.n_kf != n_kf0 or st.n_mp != n_mp0:

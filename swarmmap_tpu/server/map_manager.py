@@ -75,7 +75,10 @@ class MapManager:
             Rm = Dr @ sm.Twl_R
             tm = Ds * (Dr @ sm.Twl_t) + Dt
             ssm = Ds * float(sm.Twl_s)
-            sm.set_transform(Rm, tm, ssm)
+            # exact: a rebase is group algebra, not a new estimate — a
+            # blended apply would leave every member ~(1-blend) of the
+            # delta away from the group frame
+            sm.set_transform(Rm, tm, ssm, exact=True)
         # union groups: bigger group id wins membership (reference unions
         # by size; we union into group1)
         g1_id, g2_id = st1.group_id, st2.group_id
@@ -251,8 +254,11 @@ class MapManager:
         D = compose(compose(Twl_d, (Rc, tc, sc)), inv_d)
         Rn, tn, sn = compose(D, (st_s.Twl_R, st_s.Twl_t, float(st_s.Twl_s)))
         st_s.set_transform(Rn.astype(np.float32), tn.astype(np.float32), sn)
-        _log.info("refined group transform of map %d: ds=%.4f |dt|=%.4f (%d pairs)",
-                  st_s.map_id, sc, float(np.linalg.norm(tc)), int(n_in))
+        ang = np.degrees(np.arccos(np.clip((np.trace(Rc) - 1) / 2, -1, 1)))
+        _log.info("refined group transform of map %d: ds=%.4f |dt|=%.4f "
+                  "dR=%.2fdeg (%d pairs)",
+                  st_s.map_id, sc, float(np.linalg.norm(tc)), float(ang),
+                  int(n_in))
 
     @staticmethod
     def _ensure_foreign_point(st_d: MapStore, st_s: MapStore, src_slot: int,
@@ -290,11 +296,21 @@ class MapManager:
         (reference: MapManager::SaveGlobalMap, MapManager.cc:253-295)."""
         from pathlib import Path
 
+        from swarmmap_tpu import MAP_BASE
+
         for gid, members in self.groups.items():
             stamps, poses = [], []
             for mid in sorted(members):
                 st = self.stores[mid]
                 for k in st.alive_kf_slots():
+                    # only genuine, owned keyframes: synthesized (MBP
+                    # virtual) cameras are map-enhancement artifacts, and
+                    # foreign fused replicas would duplicate their owner's
+                    # entry at a stale pose
+                    if not st.kf_genuine[k]:
+                        continue
+                    if int(st.kf_gid[k]) // MAP_BASE != mid:
+                        continue
                     stamps.append(st.kf_ts[k])
                     poses.append(np.linalg.inv(st.kf_global_pose(k)))
             if poses:

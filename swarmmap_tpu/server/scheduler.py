@@ -115,16 +115,24 @@ class MediatorScheduler:
             if self.background_gba:
                 self._launch_gba(agent_id)
             else:
-                # mbStopGBA analogue: a NEWER pending push for this agent
-                # aborts the in-flight GBA (LoopClosing.cc
-                # RunGlobalBundleAdjustment); the next pass redoes it on
-                # the fresher map
+                # the reference's scheduler GBA runs to COMPLETION per
+                # push (MediatorScheduler.cc:121-122 — its stopGBA is a
+                # local that nothing sets).  Through the tunnel a full
+                # 10-iteration pass per push is too slow, and a hard
+                # newer-push abort starves GBA entirely at 5-agent push
+                # rates (a push is ALWAYS pending -> 0 iterations ever,
+                # and post-fuse / post-loop warps never get polished
+                # out).  Soft abort = both: a newer pending push caps the
+                # pass between LM chunks, but completed chunks APPLY, so
+                # every push still buys forward GBA progress.
                 def newer_pending():
                     with self._lock:
-                        return any(aid == agent_id for _, aid, _sl in self._heap)
+                        return any(aid == agent_id
+                                   for _, aid, _sl in self._heap)
 
                 med.loop_closing.global_ba(self.gba_iters,
-                                           should_abort=newer_pending)  # GBA(10)
+                                           should_abort=newer_pending,
+                                           soft_abort=True)  # GBA(10)
         self.map_distribute(agent_id)
         self.processed += 1
 
@@ -162,7 +170,7 @@ class MediatorScheduler:
         points) back to the client (reference: MapDistribute)."""
         med = self.mediators[agent_id]
         with med.store.lock:
-            sl = med.mapit.archive()
+            sl = med.mapit.archive(include_twl=True)
         if not any(sl.counts()) and sl.twl is None:
             return
         payload = codec.encode_slice(sl)

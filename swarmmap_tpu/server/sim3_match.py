@@ -23,7 +23,98 @@ import jax.numpy as jnp
 from ..core.map_store import NO_MP, MapStore
 from ..ops import matching, sim3 as sim3_ops, sim3_opt
 from ..utils.device import fetch
+from ..utils.logging import get_logger
 from ..utils.padding import bucket_size, pad_rows
+
+_log = get_logger("sim3_match")
+
+
+def _project_into_neighbors(
+    st: MapStore, k: int, mps: np.ndarray, pts_cam: np.ndarray,
+    scale_factor: float, max_neighbors: int = 10,
+) -> tuple[int, int]:
+    """Project candidate 3-D points (given in keyframe k's camera frame)
+    into k's covisible neighbor keyframes and score them against the
+    neighbors' OWN observations of the matched map points `mps`.
+
+    Returns (n_inliers, n_checked) pooled over all neighbors; an
+    observation counts as checked when the neighbor actually observes
+    the matched point and the candidate lands in front of its camera.
+    """
+    # candidate points in the map's local/world frame
+    T = st.kf_pose_cw[k]
+    pw = (pts_cam - T[:3, 3]) @ T[:3, :3]  # R^T (p - t)
+    n_in = n_ck = 0
+    for kn in st.covisible_kfs(k, n=max_neighbors):
+        if kn == k or not st.kf_alive[kn]:
+            continue
+        row = st.kf_kp_mp[kn]
+        vk = st.kf_kp_valid[kn] & (row != NO_MP)
+        if not vk.any():
+            continue
+        # inverse index: mp slot -> kp index in this neighbor
+        idx_of = np.full(st.n_mp, -1, np.int64)
+        kp_idx = np.where(vk)[0]
+        idx_of[row[kp_idx]] = kp_idx
+        safe = np.clip(mps, 0, st.n_mp - 1)
+        j = np.where(mps < st.n_mp, idx_of[safe], -1)
+        seen = j >= 0
+        if not seen.any():
+            continue
+        Tn = st.kf_pose_cw[kn]
+        pc = pw[seen] @ Tn[:3, :3].T + Tn[:3, 3]
+        front = pc[:, 2] > 1e-3
+        if not front.any():
+            continue
+        K = st.kf_K[kn]
+        u = K[0, 0] * pc[front, 0] / pc[front, 2] + K[0, 2]
+        v = K[1, 1] * pc[front, 1] / pc[front, 2] + K[1, 2]
+        kp = j[seen][front]
+        uv_obs = st.kf_kp_uv[kn][kp]
+        err2 = (u - uv_obs[:, 0]) ** 2 + (v - uv_obs[:, 1]) ** 2
+        sig2 = scale_factor ** (2.0 * st.kf_kp_octave[kn][kp])
+        n_ck += int(front.sum())
+        n_in += int((err2 <= 5.99 * sig2).sum())
+    return n_in, n_ck
+
+
+def _neighbor_verify(
+    st1: MapStore, k1: int, st2: MapStore, k2: int,
+    s: float, R: np.ndarray, t: np.ndarray,
+    mp1: np.ndarray, mp2: np.ndarray, scale_factor: float,
+    min_checked: int = 10, min_ratio: float = 0.35,
+) -> tuple[bool, float, int]:
+    """Multi-view acceptance check for a candidate Sim3 S12.
+
+    The matched points of map 2 are carried through S12 into keyframe
+    k1's camera frame and re-projected into k1's covisible neighbors
+    (and symmetrically map-1 points through S12^-1 into k2's
+    neighbors).  The neighbors' genuinely different viewpoints break
+    the scale/translation degeneracy of the single-pair symmetric
+    reprojection test: a wrong scale that slides points radially past
+    k1/k2 lands tens of pixels off everywhere else.
+
+    Passes when too few neighbor observations exist to judge
+    (n_checked < min_checked) — the single-pair gates remain the only
+    evidence then, as in the reference.
+    """
+    # map-2 points -> k2 camera frame -> S12 -> k1 camera frame
+    T2 = st2.kf_pose_cw[k2]
+    pc2 = st2.mp_pos[mp2] @ T2[:3, :3].T + T2[:3, 3]
+    p_in_1 = s * (pc2 @ R.T) + t
+    n_in1, n_ck1 = _project_into_neighbors(
+        st1, k1, mp1, p_in_1, scale_factor)
+    # map-1 points -> k1 camera frame -> S12^-1 -> k2 camera frame
+    T1 = st1.kf_pose_cw[k1]
+    pc1 = st1.mp_pos[mp1] @ T1[:3, :3].T + T1[:3, 3]
+    p_in_2 = ((pc1 - t) / s) @ R
+    n_in2, n_ck2 = _project_into_neighbors(
+        st2, k2, mp2, p_in_2, scale_factor)
+    n_in, n_ck = n_in1 + n_in2, n_ck1 + n_ck2
+    if n_ck < min_checked:
+        return True, 1.0, n_ck
+    ratio = n_in / n_ck
+    return ratio >= min_ratio, ratio, n_ck
 
 
 def _cam_frame_points(st: MapStore, k: int, mps: np.ndarray) -> np.ndarray:
@@ -159,8 +250,24 @@ def compute_sim3_between(
     o_n, o_s, o_R, o_t = fetch(opt.n_inliers, opt.s, opt.R, opt.t)
     if int(o_n) < min_inliers:
         return None
+    o_s, o_R, o_t = float(o_s), np.asarray(o_R), np.asarray(o_t)
+    # 5. multi-view verification.  A single-pair symmetric reprojection
+    # cannot pin the SCALE when the matched points have little depth
+    # spread (scale trades against translation along the view axis —
+    # both cameras see a nearly radial change).  Estimates like s=2.1
+    # with 90+ single-pair "inliers" pass steps 2-4 on such geometry and
+    # then wreck the map-group alignment.  Projecting the transformed
+    # points into k1's COVISIBLE keyframes breaks the degeneracy: a
+    # wrong scale lands tens of pixels off from any other viewpoint.
+    ok_nb, ratio, n_checked = _neighbor_verify(
+        st1, k1, st2, k2, o_s, o_R, o_t, mp1, mp2, scale_factor)
+    if not ok_nb:
+        _log.info(
+            "sim3 rejected by neighbor verification: s=%.3f ratio=%.2f "
+            "over %d neighbor observations", o_s, ratio, n_checked)
+        return None
     return dict(
-        s=float(o_s), R=np.asarray(o_R), t=np.asarray(o_t),
+        s=o_s, R=o_R, t=o_t,
         mp1=mp1, mp2=mp2, n_inliers=int(o_n),
         n_bow=int(len(mp1) - len(gq)), n_guided=int(len(gq)),
     )

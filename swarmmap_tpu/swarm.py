@@ -62,6 +62,12 @@ class SwarmAgent:
         sl = codec.decode_slice(payload)
         tr = self.system.tracking
         st = self.system.store
+        if sl.updates or sl.kfs or sl.mps:
+            mix: dict[str, int] = {}
+            for u in sl.updates:
+                mix[u.func] = mix.get(u.func, 0) + 1
+            _log.info("agent %d distribute: %d kfs %d mps ops=%s",
+                      self.agent_id, len(sl.kfs), len(sl.mps), mix)
         with st.lock:  # vs. async local mapping worker
             # a distribute may REBASE the map (merge/GBA rewrites poses,
             # reference: MediatorScheduler::MapDistribute) — carry the
@@ -234,6 +240,22 @@ class Swarm:
             for i, (agent, img) in enumerate(live):
                 if not handled[i]:
                     agent.track(img, ts, features=feats_per_agent[i])
+        # emergency brake against map starvation: a tracker whose inlier
+        # support is collapsing while the async mapping worker is
+        # backlogged is outrunning its own map (new keyframes queued but
+        # not yet triangulated).  Drain that agent's queue before the
+        # next frame — a rare, bounded stall beats the death spiral into
+        # relocalization (the reference never hits this because its
+        # mapping thread is never minutes behind a 20 fps camera).
+        for agent, _img in live:
+            tr = agent.system.tracking
+            lm = agent.system.local_mapping
+            if (lm.busy and tr.state.name == "OK"
+                    and tr.matches_inliers < 1.5 * tr.p.min_inliers_local):
+                _log.info("agent %d starving (inliers=%d, queue=%d) — "
+                          "draining mapping queue", agent.agent_id,
+                          tr.matches_inliers, len(lm.queue))
+                lm.wait_idle(timeout=30.0)
         self.frame_count += 1
         if self.frame_count % self.config.report_every == 0:
             for agent in self.agents:

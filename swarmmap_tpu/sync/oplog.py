@@ -109,13 +109,13 @@ class Mapit:
         return [r for r, k in zip(records, keep) if k]
 
     # ------------------------------------------------------------------ push
-    def archive(self) -> MapSlice:
+    def archive(self, include_twl: bool = False) -> MapSlice:
         """Collect new elements + drained, aggregated update log
         (reference: Map::ArchiveMap)."""
         with self.store.lock:
-            return self._archive_locked()
+            return self._archive_locked(include_twl)
 
-    def _archive_locked(self) -> MapSlice:
+    def _archive_locked(self, include_twl: bool = False) -> MapSlice:
         st = self.store
         kfs, mps = [], []
         for k in np.where(st.kf_to_serialize[: st.n_kf] & st.kf_alive[: st.n_kf])[0]:
@@ -147,7 +147,11 @@ class Mapit:
         updates = self.aggregate(self.log)
         self.log = []
         twl = None
-        if st.Twl_s != 1.0 or not np.allclose(st.Twl_R, np.eye(3)):
+        # the global transform is SERVER-owned (reference: Map::SetTransform
+        # has no client-side caller) — only server->client distributes ship
+        # it; a client echoing its stale copy back would fight the server's
+        if include_twl and (st.Twl_s != 1.0
+                            or not np.allclose(st.Twl_R, np.eye(3))):
             twl = (st.Twl_R.copy(), st.Twl_t.copy(), float(st.Twl_s))
         return MapSlice(map_id=st.map_id, kfs=kfs, mps=mps, updates=updates, twl=twl)
 
@@ -287,10 +291,15 @@ class Mapit:
             else:
                 still.append((mp_gid, kf_gid, kp))
         st.pending_obs = still[-10000:]
-        # 5. transform
+        # 5. transform — exact replication: a slice's twl is the
+        # AUTHORITATIVE server value (the server owns global alignment;
+        # reference: SetTransform is only ever called server-side,
+        # MapManager.cc).  Blending here let a stale echo drag the
+        # transform away from the authoritative one.
         if sl.twl is not None:
             R, t, s = sl.twl
-            st.set_transform(np.asarray(R), np.asarray(t), float(s), log=False)
+            st.set_transform(np.asarray(R), np.asarray(t), float(s),
+                             log=False, exact=True)
         # 6. update log
         for r in sorted(sl.updates, key=lambda r: r.seq):
             self._apply_update(r, on_map_event)

@@ -17,6 +17,20 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the heavyweight programs (8-device shard_map
+# cohort, sim3/BA optimizers) codegen ONCE per machine instead of every
+# run.  Besides the big wall-clock win, this sidesteps a reproducible
+# XLA:CPU codegen segfault that only manifests late in a full-suite run
+# (same program compiles fine in isolation) — cached executables skip
+# codegen entirely.
+_cache = os.environ.get("SWARMMAP_TEST_CACHE", "/root/.jax_cache_cpu")
+try:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except (OSError, ValueError):
+    pass
+
 import numpy as np
 import pytest
 

@@ -276,3 +276,90 @@ def test_obs_assembly_scales_to_50k(rng):
     obs_cam, _, _ = assemble()
     assert len(obs_cam) >= 50000
     assert best < 0.010, f"assembly took {best*1e3:.1f} ms at 50k obs"
+
+
+def test_group_join_rebase_is_exact(rng):
+    """Joining two EXISTING groups must keep every member's global
+    alignment exactly consistent.  Regression: member rebases used the
+    blended Map::SetTransform path, leaving each member (1-blend) of the
+    rebase delta away from the group frame — tens of degrees of
+    inter-map rotation error at scale-campaign geometry."""
+    from swarmmap_tpu.ops import lie
+    import jax.numpy as jnp
+
+    stores = [small_map(rng, map_id=i) for i in range(4)]
+    mm = MapManager()
+    for s in stores:
+        mm.register(s)
+
+    def rand_sim3(seed):
+        r = np.random.RandomState(seed)
+        xi = r.uniform(-0.5, 0.5, 7).astype(np.float32)
+        xi[3:6] *= 2.0   # large rotations — the regression's trigger
+        xi[6] *= 0.2     # modest scales so the group scale guard passes
+        R, t, s = (np.asarray(x) for x in lie.sim3_exp(jnp.asarray(xi)))
+        return float(s), R, t
+
+    # two groups: {0,1} and {2,3}
+    s01, R01, t01 = rand_sim3(1)
+    assert mm.merge(0, 1, s01, R01, t01)
+    s23, R23, t23 = rand_sim3(2)
+    assert mm.merge(2, 3, s23, R23, t23)
+    # join the groups through the 1<->2 pair
+    s12, R12, t12 = rand_sim3(3)
+    assert mm.merge(1, 2, s12, R12, t12)
+    assert len({st.group_id for st in stores}) == 1
+
+    # a physical point expressed in map 3's local frame must land at the
+    # SAME global position through the chain 3 -> 2 -> 1 as through map
+    # 3's own Twl
+    p3 = np.array([0.4, -0.1, 2.5], np.float32)
+    p2 = s23 * R23 @ p3 + t23          # map2-local (2<-3 merge Sim3)
+    p1 = s12 * R12 @ p2 + t12          # map1-local
+    g_via_1 = stores[1].Twl_s * stores[1].Twl_R @ p1 + stores[1].Twl_t
+    g_via_3 = stores[3].Twl_s * stores[3].Twl_R @ p3 + stores[3].Twl_t
+    np.testing.assert_allclose(g_via_1, g_via_3, rtol=1e-4, atol=1e-4)
+
+
+def test_twl_is_server_owned(rng):
+    """Clients must not echo the global transform back in pushes, and a
+    distribute's twl must replicate EXACTLY (no blend) on the replica.
+    Regression: every client push blended the server's Twl 90% toward
+    the client's stale copy, corrupting group alignment within a few
+    pushes of a rebase."""
+    from swarmmap_tpu.sync.oplog import Mapit
+
+    st = small_map(rng, map_id=0)
+    R = np.eye(3, dtype=np.float32)
+    st.set_transform(R, np.array([1.0, 2.0, 3.0], np.float32), 1.5,
+                     exact=True)
+    mapit = Mapit(st)
+    # push path: no twl
+    assert mapit.archive().twl is None
+    # distribute path: twl present
+    sl = mapit.archive(include_twl=True)
+    assert sl.twl is not None
+
+    # replica with a DIFFERENT pre-existing transform applies it exactly
+    replica = small_map(rng, map_id=0)
+    th = 0.8
+    R_old = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0],
+                      [0, 0, 1]], np.float32)
+    replica.set_transform(R_old, np.zeros(3, np.float32), 0.9, exact=True)
+    Mapit(replica).apply_slice(sl)
+    np.testing.assert_allclose(replica.Twl_R, st.Twl_R, atol=1e-6)
+    np.testing.assert_allclose(replica.Twl_t, st.Twl_t, atol=1e-6)
+    assert abs(float(replica.Twl_s) - float(st.Twl_s)) < 1e-6
+
+
+def test_set_transform_still_blends_estimates(rng):
+    """Default (non-exact) SetTransform keeps the reference's blended
+    repeated-estimate semantics (Map.cc interpolate, ratio 0.9)."""
+    st = small_map(rng, map_id=0)
+    st.set_transform(np.eye(3, dtype=np.float32),
+                     np.zeros(3, np.float32), 1.0001)  # first: direct
+    t_new = np.array([1.0, 0, 0], np.float32)
+    st.set_transform(np.eye(3, dtype=np.float32), t_new, 1.0)
+    # blended: strictly between old (0) and new (1)
+    assert 0.0 < float(st.Twl_t[0]) < 1.0

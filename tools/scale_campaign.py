@@ -189,20 +189,25 @@ def main() -> int:
     # 6. merged-group ATE in the GLOBAL frame: server keyframe poses of
     # every map in the biggest group, mapped through Twl, against truth
     g_est, g_gt = [], []
-    for mid in biggest:
+    map_ranges = []
+    for mid in sorted(biggest):
         med = swarm.mediators[mid]
         st = med.store
         seq = seqs[mid]
+        idx0 = len(g_est)
         for k in st.alive_kf_slots():
             gid = int(st.kf_gid[k])
             if gid // MAP_BASE != mid:
                 continue  # foreign (fused) keyframes counted by their owner
+            if not st.kf_genuine[k]:
+                continue  # MBP virtual cameras have no ground-truth frame
             fi = int(round(st.kf_ts[k] * 20))
             if fi >= N_FRAMES:
                 continue
             Twc = np.linalg.inv(st.kf_global_pose(k))
             g_est.append(Twc[:3, 3])
             g_gt.append(seq.world.poses_wc[fi][:3, 3])
+        map_ranges.append((idx0, len(g_est)))
     g_est, g_gt = np.stack(g_est), np.stack(g_gt)
     g_rmse = ate_rmse(g_est, g_gt)
     g_span = float(np.linalg.norm(g_gt.max(0) - g_gt.min(0)))
@@ -211,6 +216,51 @@ def main() -> int:
           {"ate": round(g_rmse, 3), "span": round(g_span, 2),
            "pct": round(100 * g_rmse / g_span, 2),
            "n_kfs": len(g_est)})
+
+    # diagnostics: per-map residual inside the single group gauge, and
+    # each map's independent Sim3 fit (how good its Twl COULD be)
+    from swarmmap_tpu.utils.trajectory import umeyama_align
+
+    s_g, R_g, t_g = umeyama_align(g_est, g_gt)
+    per_map = {}
+    for mid, (idx0, idx1) in zip(sorted(biggest), map_ranges):
+        e, g = g_est[idx0:idx1], g_gt[idx0:idx1]
+        if len(e) < 3:
+            continue
+        res_gauge = float(np.sqrt(
+            (((e @ (s_g * R_g).T + t_g) - g) ** 2).sum(1).mean()))
+        own_rmse = ate_rmse(e, g)
+        s_own, _, _ = umeyama_align(e, g)
+        per_map[mid] = {"in_gauge_rmse": round(res_gauge, 3),
+                        "own_fit_rmse": round(own_rmse, 3),
+                        "own_fit_scale_vs_gauge": round(s_own / s_g, 4),
+                        "n": int(len(e))}
+    results["group_per_map"] = per_map
+    print("group per-map:", json.dumps(per_map), flush=True)
+
+    dump = os.environ.get("SCALE_DUMP")
+    if dump:
+        state: dict = {}
+        for mid, med in enumerate(swarm.mediators):
+            st = med.store
+            n = st.n_kf
+            state.update({
+                f"m{mid}_pose": st.kf_pose_cw[:n].copy(),
+                f"m{mid}_ts": st.kf_ts[:n].copy(),
+                f"m{mid}_alive": st.kf_alive[:n].copy(),
+                f"m{mid}_genuine": st.kf_genuine[:n].copy(),
+                f"m{mid}_gid": st.kf_gid[:n].copy(),
+                f"m{mid}_Twl_R": st.Twl_R, f"m{mid}_Twl_t": st.Twl_t,
+                f"m{mid}_Twl_s": np.float32(st.Twl_s),
+            })
+            cst = swarm.agents[mid].system.store
+            state[f"c{mid}_pose"] = cst.kf_pose_cw[: cst.n_kf].copy()
+            state[f"c{mid}_ts"] = cst.kf_ts[: cst.n_kf].copy()
+            state[f"c{mid}_alive"] = cst.kf_alive[: cst.n_kf].copy()
+            state[f"c{mid}_gid"] = cst.kf_gid[: cst.n_kf].copy()
+            state[f"gt{mid}"] = seqs[mid].world.poses_wc
+        np.savez_compressed(dump, **state)
+        print("state dumped to", dump, flush=True)
 
     results["wall_s_total"] = round(time.time() - t_wall, 1)
     results["ok"] = not failures
