@@ -66,6 +66,16 @@ class TrackingParams:
     # entry points; when on, pose-opt outliers feed the vote ledger and
     # dynamic-voted points are excluded from tracking candidate sets.
     dynamic_filter: bool = False
+    # RECENTLY_LOST grace window (frames): on a marginal local-map
+    # failure, hold the constant-velocity motion model and keep retrying
+    # full tracking instead of dropping straight to relocalization.  The
+    # reference (ORB-SLAM2 lineage) goes LOST immediately at <30 inliers,
+    # which on a loop circuit strands the agent until the trajectory
+    # re-enters mapped territory; the grace window (the mechanism
+    # ORB-SLAM3 later added as RECENTLY_LOST) bridges transient dips —
+    # e.g. the async mapping worker momentarily behind the tracker.
+    # 0 restores exact reference behavior.
+    recently_lost_frames: int = 40
 
 
 @dataclasses.dataclass
@@ -108,6 +118,7 @@ class Tracking:
         self.last_kf_frame_id: int = -1
         self.matches_inliers = 0
         self.lost_count = 0
+        self.grace = 0  # consecutive RECENTLY_LOST frames
         self._key = jax.random.PRNGKey(rng_seed)
         # STS signals
         self.centers = deque(maxlen=self.p.velocity_window)
@@ -304,6 +315,7 @@ class Tracking:
         st.increase_found(tracked, log=False)
         self.state = TrackingState.OK
         self.lost_count = 0
+        self.grace = 0
         self.velocity = frame.pose_cw @ np.linalg.inv(self.last_frame.pose_cw)
         if self._need_new_keyframe(frame):
             self._create_new_keyframe(frame)
@@ -512,17 +524,42 @@ class Tracking:
         if self.state == TrackingState.LOST or not ok:
             ok = self._relocalize(frame)
 
+        pose_acquired = ok  # a stage produced a pose; local-map ran fresh
         if ok:
             ok = self._track_local_map(frame)
 
         if ok:
             self.state = TrackingState.OK
             self.lost_count = 0
+            self.grace = 0
             if self.last_frame is not None and self.last_frame.pose_cw is not None:
                 self.velocity = frame.pose_cw @ np.linalg.inv(self.last_frame.pose_cw)
             if self._need_new_keyframe(frame):
                 self._create_new_keyframe(frame)
         else:
+            if (self.state == TrackingState.OK
+                    and self.grace < self.p.recently_lost_frames
+                    and self.velocity is not None
+                    and self.last_frame is not None
+                    and self.last_frame.pose_cw is not None):
+                # RECENTLY_LOST: hold the motion model for a short grace
+                # window.  Every re-acquisition path (motion model,
+                # reference-KF BoW, relocalization, local-map matching)
+                # already ran this frame and keeps running on the next —
+                # the only change is not nulling the pose / state.
+                self.grace += 1
+                if not (pose_acquired and frame.pose_cw is not None
+                        and self.matches_inliers >= 10):
+                    # no usable sub-threshold pose: dead-reckon
+                    frame.pose_cw = self.velocity @ self.last_frame.pose_cw
+                if self.grace == 1 or self.grace % 10 == 0:
+                    _log.info(
+                        "tracking RECENTLY_LOST (%d/%d) at frame %d: "
+                        "inliers=%d — holding motion model",
+                        self.grace, self.p.recently_lost_frames,
+                        frame.frame_id, self.matches_inliers,
+                    )
+                return
             if self.state != TrackingState.LOST:
                 st = self.store
                 _log.warning(
@@ -853,6 +890,7 @@ class Tracking:
         self.init_frame = None
         self.velocity = None
         self.ref_kf = -1
+        self.grace = 0
         if self.store.log_fn is not None:
             self.store.log_fn("map", "clear", self.store.map_id, ())
 

@@ -94,3 +94,46 @@ def test_html_viewer_export(tmp_path, slam_run):
     assert len(scene["maps"][0]["points"]) > 100
     assert len(scene["maps"][0]["traj"]) >= 2
     assert scene["radius"] > 0
+
+
+def _run_with_dropout(recently_lost_frames):
+    """Track a sequence with a 3-frame featureless dropout in the middle."""
+    from swarmmap_tpu.core.tracking import TrackingParams
+
+    hw = (240, 320)
+    seq = datasets.synthesize_sequence(
+        n_frames=36, hw=hw, seed=0, n_points=350, motion="arc"
+    )
+    world = seq.world
+    s = small_settings(hw)
+    s.camera.fx = float(world.K[0, 0])
+    s.camera.fy = float(world.K[1, 1])
+    s.camera.cx = float(world.K[0, 2])
+    s.camera.cy = float(world.K[1, 2])
+    sys = System(s, tracking_params=TrackingParams(
+        recently_lost_frames=recently_lost_frames))
+    blank = np.full(hw, 40, np.uint8)  # no corners: every stage fails
+    ever_lost = False
+    for i in range(len(seq)):
+        img = blank if 22 <= i < 25 else seq.read(i)
+        sys.track_monocular(img, seq.timestamps[i])
+        ever_lost = ever_lost or sys.state == TrackingState.LOST
+    return sys, ever_lost
+
+
+def test_recently_lost_grace_recovers():
+    """A transient feature dropout is bridged by the RECENTLY_LOST
+    motion-model grace window: the tracker re-acquires when features
+    return instead of dropping to relocalization."""
+    sys, ever_lost = _run_with_dropout(recently_lost_frames=40)
+    assert not ever_lost
+    assert sys.state == TrackingState.OK
+    assert sys.tracking.grace == 0  # fully re-acquired, not coasting
+
+
+def test_recently_lost_disabled_matches_reference():
+    """recently_lost_frames=0 restores the reference's immediate-LOST
+    semantics (ORB-SLAM2 Tracking.cc: <30 local-map inliers -> LOST)."""
+    _sys, ever_lost = _run_with_dropout(recently_lost_frames=0)
+    # the dropout forced at least one hard LOST transition
+    assert ever_lost

@@ -106,6 +106,22 @@ def main() -> int:
     init_ok.set()
     print("device ok:", jax.default_backend(), flush=True)
 
+    # mid-run stall watchdog: a dying tunnel wedges every device call on
+    # a futex forever (observed: relay process death at minute 33 of a
+    # 35-minute run).  Exit 99 so a retry wrapper can relaunch once the
+    # tunnel returns instead of hanging until the driver kills us.
+    heartbeat = [time.time()]
+
+    def _stall_watchdog():
+        while True:
+            time.sleep(30)
+            if time.time() - heartbeat[0] > 420:
+                print("stall watchdog: no progress in 420s (wedged "
+                      "tunnel?), exiting 99 for retry", flush=True)
+                os._exit(99)
+
+    threading.Thread(target=_stall_watchdog, daemon=True).start()
+
     seqs = _render_sequences()
     w = seqs[0].world
     settings = Settings(
@@ -123,6 +139,7 @@ def main() -> int:
     t0 = time.time()
     for i in range(N_FRAMES):
         swarm.step([s.read(i) for s in seqs], float(seqs[0].timestamps[i]))
+        heartbeat[0] = time.time()
         if (i + 1) % 50 == 0:
             print(f"  frame {i+1}/{N_FRAMES}  "
                   f"tracked={[a.frames_tracked for a in swarm.agents]}",
