@@ -9,7 +9,9 @@ exercised by the standalone client/server CLIs).
 """
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
+import threading
 
 import numpy as np
 
@@ -182,6 +184,10 @@ class Swarm:
                       n_agents, d)
         self.frame_count = 0
         self.fused_cohort_dispatches = 0  # frames where ALL steady agents ran as ONE dispatch
+        # single worker: overlaps the cohort's feature D2H with the pose
+        # fetch (both transfers share one round-trip window)
+        self._prefetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="feat-prefetch")
 
     # -- transport (loopback function calls) --------------------------------
     def _distribute(self, agent_id: int, payload: bytes):
@@ -321,6 +327,34 @@ class Swarm:
         feats = out.features
         from .utils.device import fetch
 
+        # overlap the feature D2H with the pose fetch + host commit: the
+        # transfers stream while the blocking pose round trip is in
+        # flight, so a keyframe frame's ensure_features() finds the
+        # bytes already host-resident instead of paying its own RPC
+        feat_leaves = (feats.xy, feats.octave, feats.angle,
+                       feats.response, feats.desc, feats.valid)
+        for leaf in feat_leaves:
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:  # non-jax.Array leaf (cpu tests)
+                break
+        feats_host: list = []
+        feats_lock = threading.Lock()
+
+        def _fetch_all_feats():
+            """ONE whole-cohort feature fetch, shared by every agent's
+            lazy provider (2 KFs in one step = still one RPC)."""
+            with feats_lock:
+                if not feats_host:
+                    feats_host.append(
+                        tuple(np.asarray(x) for x in fetch(*feat_leaves)))
+                return feats_host[0]
+
+        # run the feature fetch concurrently with the pose fetch below:
+        # both transfers share the device round trip window, so a
+        # keyframe frame's ensure_features() is a host-memory hit
+        self._prefetch_pool.submit(_fetch_all_feats)
+
         with STATS.stage("fetch"):
             # steady path fetches ONLY (pose, inliers, matches) — the
             # feature arrays stay device-resident behind per-agent lazy
@@ -345,10 +379,7 @@ class Swarm:
                 j = rows[id(agent)]
 
                 def provider(j=j):
-                    return fetch(
-                        feats.xy[j], feats.octave[j], feats.angle[j],
-                        feats.response[j], feats.desc[j], feats.valid[j],
-                    )
+                    return tuple(a[j] for a in _fetch_all_feats())
 
                 frame = tr.commit_fused(img, ts, slots, Tcw_b[j], ninl_b[j],
                                         match_b[j], provider)
@@ -390,6 +421,7 @@ class Swarm:
     def finish(self):
         """Final flush (reference stops after 6 empty pushes; one final
         sync is enough for the synchronous harness)."""
+        self._prefetch_pool.shutdown(wait=True)
         if self.config.async_mapping:
             for a in self.agents:
                 a.system.local_mapping.stop_async()
