@@ -32,6 +32,19 @@ from .map_store import NO_MP, MapStore
 _log = get_logger("tracking")
 
 
+@jax.jit
+def _batched_bow_match(nodes_b, qval_b, desc_b, f_nodes, f_valid, f_desc):
+    """SearchByBoW against a fixed-size bank of candidate keyframes in
+    ONE program (relocalization runs every frame while lost; per-
+    candidate dispatches cost a device round trip each)."""
+    def per(nodes, qval, desc):
+        m = matching.node_mask(nodes, f_nodes, qval, f_valid)
+        return matching.masked_match(desc, f_desc, m,
+                                     max_dist=matching.TH_LOW, ratio=0.75)
+
+    return jax.vmap(per)(nodes_b, qval_b, desc_b)
+
+
 class TrackingState(enum.Enum):
     """reference: TrackingState enum, Tracking.h:64-70"""
     SYSTEM_NOT_READY = -1
@@ -748,18 +761,29 @@ class Tracking:
         st = self.store
         frame.compute_bow(self.vocab)
         candidates = self.kfdb.detect_reloc_candidates(frame, st)
-        for k in candidates[:5]:
-            node_m = matching.node_mask(
-                jnp.asarray(st.kf_nodes[k]), jnp.asarray(frame.nodes),
-                jnp.asarray(st.kf_kp_valid[k] & (st.kf_kp_mp[k] != NO_MP)),
-                jnp.asarray(frame.valid),
-            )
-            m = matching.masked_match(
-                jnp.asarray(st.kf_desc[k]), jnp.asarray(frame.desc), node_m,
-                max_dist=matching.TH_LOW, ratio=0.75,
-            )
-            idx, valid = fetch(m.idx, m.valid)
-            idx, valid = np.asarray(idx), np.asarray(valid)
+        cands = [int(k) for k in candidates[:5]]
+        if not cands:
+            return False
+        # ONE dispatch + fetch for ALL candidates' BoW matching (a lost
+        # agent relocalizes every frame; per-candidate round trips cost
+        # up to 10 RPCs/frame through the tunnel).  Pad to a fixed bank
+        # of 5 so the vmapped program compiles once.
+        B = 5
+        nodes_b = np.zeros((B,) + st.kf_nodes[cands[0]].shape, np.int32)
+        desc_b = np.zeros((B,) + st.kf_desc[cands[0]].shape, np.uint32)
+        qval_b = np.zeros((B, len(st.kf_kp_valid[cands[0]])), bool)
+        for bi, k in enumerate(cands):
+            nodes_b[bi] = st.kf_nodes[k]
+            desc_b[bi] = st.kf_desc[k]
+            qval_b[bi] = st.kf_kp_valid[k] & (st.kf_kp_mp[k] != NO_MP)
+        m = _batched_bow_match(
+            jnp.asarray(nodes_b), jnp.asarray(qval_b), jnp.asarray(desc_b),
+            jnp.asarray(frame.nodes), jnp.asarray(frame.valid),
+            jnp.asarray(frame.desc),
+        )
+        idx_b, valid_b = (np.asarray(x) for x in fetch(m.idx, m.valid))
+        for bi, k in enumerate(cands):
+            idx, valid = idx_b[bi], valid_b[bi]
             if valid.sum() < 15:
                 continue
             # gather 3D-2D correspondences
