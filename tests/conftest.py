@@ -23,6 +23,11 @@ jax.config.update("jax_platforms", "cpu")
 # XLA:CPU codegen segfault that only manifests late in a full-suite run
 # (same program compiles fine in isolation) — cached executables skip
 # codegen entirely.
+# NOTE: XLA:CPU AOT cache entries record the builder's machine features
+# (cpu_aot_loader warns on mismatch, e.g. +prefer-no-scatter, "could
+# lead to execution errors such as SIGILL") — if the suite ever
+# SIGILLs/SIGSEGVs right after such a warning, delete the cache dir; it
+# was written by a host with a different CPU feature set.
 _cache = os.environ.get("SWARMMAP_TEST_CACHE", "/root/.jax_cache_cpu")
 try:
     os.makedirs(_cache, exist_ok=True)

@@ -151,6 +151,7 @@ def main() -> int:
 
     results: dict = {
         "n_agents": N_AGENTS, "n_frames": N_FRAMES, "hw": list(HW),
+        "backend": jax.default_backend(),
         "run_s": round(run_s, 1),
         "fps_per_agent": round(N_FRAMES / run_s, 2),
     }
@@ -281,8 +282,9 @@ def main() -> int:
 
     results["wall_s_total"] = round(time.time() - t_wall, 1)
     results["ok"] = not failures
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALE_r03.json")
+    out = os.environ.get("SCALE_OUT") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_r03.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({k: results[k] for k in
