@@ -129,6 +129,25 @@ def main() -> None:
 
     import jax
 
+    # a dead/wedged device tunnel blocks the first dispatch forever;
+    # emit a diagnosable JSON line and exit instead of hanging the
+    # driver (observed: relay process death mid-round)
+    import threading
+
+    alive = threading.Event()
+
+    def _watchdog():
+        if not alive.wait(240):
+            print(json.dumps({
+                "metric": "tracking_fps_per_agent_3agent_euroc_geom",
+                "value": None, "unit": "frames/s/agent",
+                "vs_baseline": None,
+                "error": "device init wedged >240s (tunnel down?)",
+            }), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     # persistent compile cache: tunnel compiles cost minutes; cached runs
     # start in seconds
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -137,6 +156,12 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
+
+    # trivial device op: proves the device answers at all (the watchdog
+    # only guards reachability — slow first compiles can take minutes
+    # and are fine)
+    jnp.zeros(4).block_until_ready()
+    alive.set()
 
     from swarmmap_tpu import pipeline
 
