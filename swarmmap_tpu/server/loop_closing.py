@@ -229,7 +229,9 @@ class LoopClosing:
                 if a != b2 and st.mp_alive[a] and st.mp_alive[b2]:
                     st.replace_mp(a, b2)
         self.n_fused += self.search_and_fuse(k, loop_kf)
-        _log.info("loop closed: kf %d <-> kf %d (scale %.3f)", k, loop_kf, s)
+        _log.info("loop closed: map %d kf %d <-> kf %d (scale %.3f, "
+                  "%d graph nodes)", self.store.map_id, k, loop_kf, s,
+                  len(slots))
 
         if self.run_global_ba:
             self.global_ba()

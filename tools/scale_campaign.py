@@ -136,6 +136,34 @@ def main() -> int:
                   config=SwarmConfig(push_every=20, report_every=10,
                                      async_mapping=True, async_server=True),
                   run_server_gba=True)
+    def _server_own_fit():
+        """Per-map internal distortion diagnostic: optimal-Sim3 residual
+        of each SERVER replica's own genuine keyframes against ground
+        truth.  A map that is merely mis-gauged fits to ~0; a warped map
+        cannot (host-only math, run at checkpoints under SCALE_DIAG)."""
+        from swarmmap_tpu.utils.trajectory import umeyama_align
+        out = {}
+        for mid, med in enumerate(swarm.mediators):
+            st = med.store
+            with st.lock:
+                est, gt = [], []
+                for k in st.alive_kf_slots():
+                    if not st.kf_genuine[k] or int(st.kf_gid[k]) // MAP_BASE != mid:
+                        continue
+                    fi = int(round(st.kf_ts[k] * 20))
+                    if fi >= N_FRAMES:
+                        continue
+                    est.append(np.linalg.inv(st.kf_pose_cw[k])[:3, 3])
+                    gt.append(seqs[mid].world.poses_wc[fi][:3, 3])
+            if len(est) < 8:
+                continue
+            est, gt = np.stack(est), np.stack(gt)
+            s, R, t = umeyama_align(est, gt)
+            out[mid] = round(float(np.sqrt(
+                (((est @ (s * R).T + t) - gt) ** 2).sum(1).mean())), 3)
+        return out
+
+    diag = bool(os.environ.get("SCALE_DIAG"))
     t0 = time.time()
     for i in range(N_FRAMES):
         swarm.step([s.read(i) for s in seqs], float(seqs[0].timestamps[i]))
@@ -144,9 +172,18 @@ def main() -> int:
             print(f"  frame {i+1}/{N_FRAMES}  "
                   f"tracked={[a.frames_tracked for a in swarm.agents]}",
                   flush=True)
+            if diag:
+                print(f"  server own-fit rmse: {_server_own_fit()}",
+                      flush=True)
     for a in swarm.agents:
         a.system.local_mapping.wait_idle(timeout=120)
+    if diag:
+        print(f"  server own-fit rmse pre-finish: {_server_own_fit()}",
+              flush=True)
     swarm.finish()
+    if diag:
+        print(f"  server own-fit rmse post-finish: {_server_own_fit()}",
+              flush=True)
     run_s = time.time() - t0
 
     results: dict = {
