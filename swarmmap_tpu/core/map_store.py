@@ -88,6 +88,17 @@ class MapStore:
         self.kf_hw = np.zeros((kf_capacity, 2), np.int32)       # image size
         self.kf_to_serialize = np.zeros(kf_capacity, bool)      # mbToBeSerialized
         self.kf_loop_edges: dict[int, set[int]] = {}
+        # stale-gauge guard (server replicas): a loop/pose-graph
+        # correction rebases every pose, but client pushes created BEFORE
+        # the correction round-tripped still carry the old gauge —
+        # applying them verbatim leaves the map half-corrected and the
+        # next GBA blends the two gauges into a permanent warp.  The
+        # correction records each slot's pre-correction pose (+ the
+        # per-node Sim3 scale); the op-log apply path uses them to
+        # re-express stale ops in the corrected frame (sync/oplog.py).
+        self.kf_corrected = np.zeros(kf_capacity, bool)
+        self.kf_pre_corr_pose = np.zeros((kf_capacity, 4, 4), np.float32)
+        self.kf_corr_scale = np.ones(kf_capacity, np.float32)
 
         # -- map points -----------------------------------------------------
         self.n_mp = 0
@@ -107,6 +118,8 @@ class MapStore:
         self.mp_update_count = np.zeros(mp_capacity, np.int32)  # MBP feature
         self.mp_cam_velocity = np.zeros(mp_capacity, np.float32)
         self.mp_to_serialize = np.zeros(mp_capacity, bool)
+        self.mp_corrected = np.zeros(mp_capacity, bool)
+        self.mp_pre_corr_pos = np.zeros((mp_capacity, 3), np.float32)
 
         # observations: mp slot -> {kf slot: kp idx}
         self.obs: dict[int, dict[int, int]] = {}
@@ -223,9 +236,10 @@ class MapStore:
             "kf_pose_cw kf_ts kf_created kf_alive kf_genuine kf_gid kf_frame_id "
             "kf_kp_uv kf_kp_octave kf_kp_angle kf_kp_response kf_kp_valid "
             "kf_desc kf_words kf_nodes kf_kp_mp kf_parent kf_velocity kf_K "
-            "kf_hw kf_to_serialize"
+            "kf_hw kf_to_serialize kf_corrected kf_pre_corr_pose kf_corr_scale"
         ).split():
             setattr(self, name, _grow(getattr(self, name), cap))
+        self.kf_corr_scale[self.n_kf :] = 1.0
         self.kf_parent[self.n_kf :] = -1
         self.kf_gid[self.n_kf :] = -1
         self.kf_kp_mp[self.n_kf :] = NO_MP
@@ -241,7 +255,7 @@ class MapStore:
             "mp_pos mp_normal mp_min_dist mp_max_dist mp_desc mp_alive mp_gid "
             "mp_ref_kf mp_first_kf mp_visible mp_found mp_created "
             "mp_last_tracked mp_update_count mp_cam_velocity mp_to_serialize "
-            "mp_nobs"
+            "mp_nobs mp_corrected mp_pre_corr_pos"
         ).split():
             setattr(self, name, _grow(getattr(self, name), cap))
         self.mp_gid[self.n_mp :] = -1

@@ -199,6 +199,14 @@ class LoopClosing:
         # correct map points using their reference keyframe's old/new Sim3
         old_R = st.kf_pose_cw[slots][:, :3, :3].copy()
         old_t = st.kf_pose_cw[slots][:, :3, 3].copy()
+        # stale-gauge guard bookkeeping: remember each slot's
+        # pre-correction pose (+ the per-node correction scale) so client
+        # pushes created before this correction round-tripped can be
+        # re-expressed in the corrected frame at apply time
+        # (sync/oplog.py; see MapStore.kf_corrected)
+        st.kf_pre_corr_pose[slots] = st.kf_pose_cw[slots]
+        st.kf_corrected[slots] = True
+        st.kf_corr_scale[slots] = s_new
         for m in st.alive_mp_slots():
             ref = int(st.mp_ref_kf[m])
             i = slot_of.get(ref)
@@ -210,6 +218,8 @@ class LoopClosing:
                 if i is None:
                     continue
             # p_cam = S_old_iw p ; p_new = S_new_iw^-1 p_cam
+            st.mp_pre_corr_pos[m] = st.mp_pos[m]
+            st.mp_corrected[m] = True
             pc = old_R[i] @ st.mp_pos[m] + old_t[i]
             p_new = (R_new[i].T @ (pc - t_new[i])) / s_new[i]
             st.set_mp_pos(m, p_new.astype(np.float32))

@@ -30,6 +30,13 @@ from ..utils.logging import get_logger
 
 _log = get_logger("mapit")
 
+
+def _pose_dist(Ta: np.ndarray, Tb: np.ndarray) -> float:
+    """Translation + weighted rotation distance between SE3 cam poses."""
+    dt = float(np.linalg.norm(Ta[:3, 3] - Tb[:3, 3]))
+    cos = np.clip((np.trace(Ta[:3, :3] @ Tb[:3, :3].T) - 1.0) / 2.0, -1.0, 1.0)
+    return dt + 0.5 * float(np.arccos(cos))
+
 # ops where only the last record per target matters
 LAST_WRITER_OPS = {
     "SetPose", "SetWorldPos", "SetFound", "SetVisible", "SetLastTrackedTime",
@@ -69,6 +76,7 @@ class Mapit:
         self.shipped_kf: set[int] = set()
         self.shipped_mp: set[int] = set()
         self._seq = itertools.count()
+        self._slice_stale = False  # current slice predates a correction
         store.log_fn = self.add
 
     # ------------------------------------------------------------------ log
@@ -221,11 +229,56 @@ class Mapit:
     def _apply_slice_locked(self, sl: MapSlice, vocab=None,
                             on_map_event=None) -> None:
         st = self.store
+        # 0. stale-gauge classification: after a server-side loop
+        # correction rebased this replica, pushes the client created
+        # BEFORE receiving the correction distribute still carry the old
+        # gauge.  Classify the slice by whether its SetPose payloads sit
+        # closer to the recorded pre-correction poses than to the current
+        # ones; a stale slice's geometry is re-expressed in the corrected
+        # frame below, a fresh one retires the guard.  Without this, a
+        # drained backlog of stale pushes leaves the map half-corrected
+        # and the next GBA blends the two gauges into a permanent warp.
+        stale_v = fresh_v = 0
+        if st.kf_corrected[: st.n_kf].any():
+            for r in sl.updates:
+                if r.kind == "kf" and r.func == "SetPose":
+                    k = st.kf_by_gid.get(r.target)
+                    if k is not None and st.kf_corrected[k]:
+                        T = np.asarray(r.args[0])
+                        if (_pose_dist(T, st.kf_pre_corr_pose[k])
+                                < _pose_dist(T, st.kf_pose_cw[k])):
+                            stale_v += 1
+                        else:
+                            fresh_v += 1
+        self._slice_stale = stale_v > fresh_v
+        if fresh_v and not self._slice_stale:
+            st.kf_corrected[: st.n_kf] = False
+            st.mp_corrected[: st.n_mp] = False
+        elif self._slice_stale:
+            _log.info("stale-gauge slice (%d stale vs %d fresh pose votes)"
+                      " — re-expressing in the corrected frame",
+                      stale_v, fresh_v)
         # 1. keyframes
         new_kfs = []
         for p in sl.kfs:
             if p["gid"] in st.kf_by_gid:
                 continue
+            pose = np.asarray(p["pose_cw"], np.float32)
+            par = (st.kf_by_gid.get(p["parent_gid"])
+                   if p.get("parent_gid", -1) >= 0 else None)
+            if (self._slice_stale and par is not None
+                    and st.kf_corrected[par]):
+                # anchor the new keyframe by its relative pose to the
+                # parent's PRE-correction pose, composed onto the
+                # parent's corrected pose (relative translation rescaled
+                # by the parent's per-node correction scale)
+                T_rel = pose @ np.linalg.inv(st.kf_pre_corr_pose[par])
+                T_rel[:3, 3] /= st.kf_corr_scale[par]
+                client_pose = pose
+                pose = (T_rel @ st.kf_pose_cw[par]).astype(np.float32)
+                p = dict(p, _client_pose=client_pose,
+                         _corr_scale=float(st.kf_corr_scale[par]))
+            p = dict(p, pose_cw=pose)
             k = st.add_keyframe(
                 pose_cw=p["pose_cw"], K=p["K"], kp_uv=p["kp_uv"],
                 kp_octave=p["kp_octave"], kp_angle=p["kp_angle"],
@@ -243,6 +296,13 @@ class Mapit:
             # came from the peer: don't echo it back whole, but DO log
             # future local mutations on it
             st.kf_to_serialize[k] = False
+            if "_client_pose" in p:
+                # the element itself now needs the guard: the client's
+                # NEXT stale push may carry SetPose for it in the old
+                # gauge
+                st.kf_pre_corr_pose[k] = p["_client_pose"]
+                st.kf_corrected[k] = True
+                st.kf_corr_scale[k] = p["_corr_scale"]
             self.shipped_kf.add(p["gid"])
             new_kfs.append((k, p))
         # 2. map points
@@ -250,8 +310,21 @@ class Mapit:
             if p["gid"] in st.mp_by_gid:
                 continue
             ref = st.kf_by_gid.get(p["ref_kf_gid"], -1)
+            pos = np.asarray(p["pos"], np.float32)
+            if self._slice_stale and ref >= 0 and st.kf_corrected[ref]:
+                # map the client-frame position through the reference
+                # keyframe's pre->post correction Sim3 (same math as
+                # correct_loop's point correction)
+                Tp = st.kf_pre_corr_pose[ref]
+                pc = Tp[:3, :3] @ pos + Tp[:3, 3]
+                Tc = st.kf_pose_cw[ref]
+                client_pos = pos
+                pos = (Tc[:3, :3].T
+                       @ (pc / st.kf_corr_scale[ref] - Tc[:3, 3])
+                       ).astype(np.float32)
+                p = dict(p, _client_pos=client_pos)
             m = st.add_map_point(
-                pos=p["pos"], desc=p["desc"], ref_kf=ref, gid=p["gid"],
+                pos=pos, desc=p["desc"], ref_kf=ref, gid=p["gid"],
                 normal=p["normal"], min_dist=p["min_dist"], max_dist=p["max_dist"],
                 cam_velocity=p.get("cam_velocity", 0.0), log=False,
             )
@@ -260,6 +333,9 @@ class Mapit:
             st.mp_created[m] = p["created"]
             st.mp_last_tracked[m] = p["last_tracked"]
             st.mp_to_serialize[m] = False
+            if "_client_pos" in p:
+                st.mp_pre_corr_pos[m] = p["_client_pos"]
+                st.mp_corrected[m] = True
             self.shipped_mp.add(p["gid"])
             # replay the shipped observation set (reference restores
             # mIdObservations on arrival); keyframes not present yet go
@@ -332,7 +408,14 @@ class Mapit:
             if k is None:
                 return
             if r.func == "SetPose":
-                st.set_kf_pose(k, np.asarray(r.args[0]), log=False)
+                T = np.asarray(r.args[0])
+                if self._slice_stale and st.kf_corrected[k]:
+                    # stale gauge: carry the client's relative refinement
+                    # (vs the pre-correction pose) onto the corrected pose
+                    delta = T @ np.linalg.inv(st.kf_pre_corr_pose[k])
+                    delta[:3, 3] /= st.kf_corr_scale[k]
+                    T = (delta @ st.kf_pose_cw[k]).astype(np.float32)
+                st.set_kf_pose(k, T, log=False)
             elif r.func == "SetBadFlag":
                 st.set_kf_bad(k, log=False)
             elif r.func == "AddLoopEdge":
@@ -350,7 +433,16 @@ class Mapit:
                 st.pending_obs.append((r.target, r.args[0], int(r.args[1])))
             return
         if r.func == "SetWorldPos":
-            st.set_mp_pos(m, np.asarray(r.args[0]), log=False)
+            x = np.asarray(r.args[0], np.float32)
+            if self._slice_stale and st.mp_corrected[m]:
+                # stale gauge: keep the corrected position, fold in the
+                # client's (small) refinement delta rescaled to the
+                # corrected frame
+                ref = int(st.mp_ref_kf[m])
+                scl = float(st.kf_corr_scale[ref]) if ref >= 0 else 1.0
+                x = (st.mp_pos[m]
+                     + (x - st.mp_pre_corr_pos[m]) / scl).astype(np.float32)
+            st.set_mp_pos(m, x, log=False)
         elif r.func == "AddObservation":
             k = st.kf_by_gid.get(r.args[0])
             if k is not None:

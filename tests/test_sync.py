@@ -192,3 +192,98 @@ def test_system_state_roundtrip():
     assert s2.velocity_burst and not s2.stable
     assert s2.n_tracked == 42 and s2.lost_count == 3
     np.testing.assert_allclose(s2.location, [1, 2, 3])
+
+
+def _pose(R=None, t=(0, 0, 0)):
+    T = np.eye(4, dtype=np.float32)
+    if R is not None:
+        T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
+def test_stale_gauge_slice_reexpressed():
+    """A push created before a server-side loop correction (old gauge)
+    is re-expressed in the corrected frame instead of reverting it."""
+    # client and server replica sharing two keyframes + a point
+    client = make_store(map_id=0)
+    cm = Mapit(client)
+    k0 = add_kf(client, 0)
+    k1 = add_kf(client, 1)
+    client.set_kf_pose(k1, _pose(t=(1.0, 0, 0)), log=False)
+    m = client.add_map_point(np.array([0.5, 0, 3.0]), client.kf_desc[k0, 0],
+                             ref_kf=k0)
+    client.add_observation(m, k0, 0)
+    server = make_store(map_id=0)
+    sm = Mapit(server)
+    sm.apply_slice(codec.decode_slice(codec.encode_slice(cm.archive())))
+
+    # server-side correction: rigid shift of the whole map by +1 in z
+    # (as a loop correction would), with bookkeeping like correct_loop's
+    shift = np.array([0, 0, 1.0], np.float32)
+    for k in (0, 1):
+        server.kf_pre_corr_pose[k] = server.kf_pose_cw[k]
+        server.kf_corrected[k] = True
+        server.kf_corr_scale[k] = 1.0
+        T = server.kf_pose_cw[k].copy()
+        T[:3, 3] += shift
+        server.set_kf_pose(k, T, log=False)
+    server.mp_pre_corr_pos[0] = server.mp_pos[0]
+    server.mp_corrected[0] = True
+    server.set_mp_pos(0, server.mp_pos[0] - shift, log=False)
+
+    # stale client push: small refinements + a NEW keyframe and point,
+    # all still in the old gauge
+    client.set_kf_pose(k0, _pose(t=(0.01, 0, 0)))       # tiny refinement
+    client.set_kf_pose(k1, _pose(t=(1.02, 0, 0)))
+    client.set_mp_pos(m, np.array([0.52, 0, 3.0], np.float32))
+    k2 = add_kf(client, 2)
+    client.set_kf_pose(k2, _pose(t=(2.0, 0, 0)), log=False)
+    client.kf_parent[k2] = k1
+    m2 = client.add_map_point(np.array([1.5, 0, 3.0]), client.kf_desc[k2, 0],
+                              ref_kf=k1)
+    client.add_observation(m2, k2, 1)
+    sl = codec.decode_slice(codec.encode_slice(cm.archive()))
+    sm.apply_slice(sl)
+
+    # existing keyframes: refinement carried onto the CORRECTED gauge
+    np.testing.assert_allclose(
+        server.kf_pose_cw[0][:3, 3], [0.01, 0, 1.0], atol=1e-5)
+    np.testing.assert_allclose(
+        server.kf_pose_cw[1][:3, 3], [1.02, 0, 1.0], atol=1e-5)
+    # existing point: corrected position + client delta
+    np.testing.assert_allclose(
+        server.mp_pos[0], [0.52, 0, 2.0], atol=1e-5)
+    # new keyframe anchored via its parent's pre->post transform
+    k2s = server.kf_by_gid[int(client.kf_gid[k2])]
+    np.testing.assert_allclose(
+        server.kf_pose_cw[k2s][:3, 3], [2.0, 0, 1.0], atol=1e-5)
+    # new point mapped through its ref keyframe's correction
+    m2s = server.mp_by_gid[int(client.mp_gid[m2])]
+    np.testing.assert_allclose(server.mp_pos[m2s], [1.5, 0, 2.0], atol=1e-4)
+
+
+def test_fresh_slice_retires_stale_gauge_guard():
+    """Once the client has applied the correction distribute, its pushes
+    match the corrected gauge and the guard clears."""
+    client = make_store(map_id=0)
+    cm = Mapit(client)
+    k0 = add_kf(client, 0)
+    server = make_store(map_id=0)
+    sm = Mapit(server)
+    sm.apply_slice(codec.decode_slice(codec.encode_slice(cm.archive())))
+    shift = np.array([0, 0, 1.0], np.float32)
+    server.kf_pre_corr_pose[0] = server.kf_pose_cw[0]
+    server.kf_corrected[0] = True
+    T = server.kf_pose_cw[0].copy()
+    T[:3, 3] += shift
+    server.set_kf_pose(0, T, log=False)
+    # client receives the correction (as the distribute would deliver)
+    client.set_kf_pose(k0, T, log=False)
+    # ... and pushes a post-correction refinement
+    T2 = T.copy()
+    T2[:3, 3] += [0.01, 0, 0]
+    client.set_kf_pose(k0, T2)
+    sm.apply_slice(codec.decode_slice(codec.encode_slice(cm.archive())))
+    np.testing.assert_allclose(server.kf_pose_cw[0], T2, atol=1e-6)
+    assert not server.kf_corrected[0]
