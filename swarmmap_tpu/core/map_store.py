@@ -98,6 +98,11 @@ class MapStore:
         # re-express stale ops in the corrected frame (sync/oplog.py).
         self.kf_corrected = np.zeros(kf_capacity, bool)
         self.kf_pre_corr_pose = np.zeros((kf_capacity, 4, 4), np.float32)
+        # fixed post-correction snapshot: stale ops conjugate onto THIS,
+        # not the live pose — successive stale slices carry CUMULATIVE
+        # client deltas, so composing onto the live (already-conjugated)
+        # pose would double-apply them and blow the gauge up
+        self.kf_post_corr_pose = np.zeros((kf_capacity, 4, 4), np.float32)
         self.kf_corr_scale = np.ones(kf_capacity, np.float32)
 
         # -- map points -----------------------------------------------------
@@ -120,6 +125,7 @@ class MapStore:
         self.mp_to_serialize = np.zeros(mp_capacity, bool)
         self.mp_corrected = np.zeros(mp_capacity, bool)
         self.mp_pre_corr_pos = np.zeros((mp_capacity, 3), np.float32)
+        self.mp_post_corr_pos = np.zeros((mp_capacity, 3), np.float32)
 
         # observations: mp slot -> {kf slot: kp idx}
         self.obs: dict[int, dict[int, int]] = {}
@@ -236,7 +242,8 @@ class MapStore:
             "kf_pose_cw kf_ts kf_created kf_alive kf_genuine kf_gid kf_frame_id "
             "kf_kp_uv kf_kp_octave kf_kp_angle kf_kp_response kf_kp_valid "
             "kf_desc kf_words kf_nodes kf_kp_mp kf_parent kf_velocity kf_K "
-            "kf_hw kf_to_serialize kf_corrected kf_pre_corr_pose kf_corr_scale"
+            "kf_hw kf_to_serialize kf_corrected kf_pre_corr_pose "
+            "kf_post_corr_pose kf_corr_scale"
         ).split():
             setattr(self, name, _grow(getattr(self, name), cap))
         self.kf_corr_scale[self.n_kf :] = 1.0
@@ -255,7 +262,7 @@ class MapStore:
             "mp_pos mp_normal mp_min_dist mp_max_dist mp_desc mp_alive mp_gid "
             "mp_ref_kf mp_first_kf mp_visible mp_found mp_created "
             "mp_last_tracked mp_update_count mp_cam_velocity mp_to_serialize "
-            "mp_nobs mp_corrected mp_pre_corr_pos"
+            "mp_nobs mp_corrected mp_pre_corr_pos mp_post_corr_pos"
         ).split():
             setattr(self, name, _grow(getattr(self, name), cap))
         self.mp_gid[self.n_mp :] = -1

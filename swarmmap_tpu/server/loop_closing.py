@@ -223,12 +223,14 @@ class LoopClosing:
             pc = old_R[i] @ st.mp_pos[m] + old_t[i]
             p_new = (R_new[i].T @ (pc - t_new[i])) / s_new[i]
             st.set_mp_pos(m, p_new.astype(np.float32))
+            st.mp_post_corr_pos[m] = st.mp_pos[m]
         # write back SE3 poses: T = [R | t/s]
         for i, kk in enumerate(slots):
             T = np.eye(4, dtype=np.float32)
             T[:3, :3] = R_new[i]
             T[:3, 3] = t_new[i] / s_new[i]
             st.set_kf_pose(int(kk), T)
+            st.kf_post_corr_pose[kk] = T
         st.add_loop_edge(k, loop_kf)
         # replace the current KF's matched points with the loop points
         # (reference: the mvpCurrentMatchedPoints loop in CorrectLoop)

@@ -246,7 +246,7 @@ class Mapit:
                     if k is not None and st.kf_corrected[k]:
                         T = np.asarray(r.args[0])
                         if (_pose_dist(T, st.kf_pre_corr_pose[k])
-                                < _pose_dist(T, st.kf_pose_cw[k])):
+                                < _pose_dist(T, st.kf_post_corr_pose[k])):
                             stale_v += 1
                         else:
                             fresh_v += 1
@@ -275,7 +275,7 @@ class Mapit:
                 T_rel = pose @ np.linalg.inv(st.kf_pre_corr_pose[par])
                 T_rel[:3, 3] /= st.kf_corr_scale[par]
                 client_pose = pose
-                pose = (T_rel @ st.kf_pose_cw[par]).astype(np.float32)
+                pose = (T_rel @ st.kf_post_corr_pose[par]).astype(np.float32)
                 p = dict(p, _client_pose=client_pose,
                          _corr_scale=float(st.kf_corr_scale[par]))
             p = dict(p, pose_cw=pose)
@@ -301,6 +301,7 @@ class Mapit:
                 # NEXT stale push may carry SetPose for it in the old
                 # gauge
                 st.kf_pre_corr_pose[k] = p["_client_pose"]
+                st.kf_post_corr_pose[k] = st.kf_pose_cw[k]
                 st.kf_corrected[k] = True
                 st.kf_corr_scale[k] = p["_corr_scale"]
             self.shipped_kf.add(p["gid"])
@@ -317,7 +318,7 @@ class Mapit:
                 # correct_loop's point correction)
                 Tp = st.kf_pre_corr_pose[ref]
                 pc = Tp[:3, :3] @ pos + Tp[:3, 3]
-                Tc = st.kf_pose_cw[ref]
+                Tc = st.kf_post_corr_pose[ref]
                 client_pos = pos
                 pos = (Tc[:3, :3].T
                        @ (pc / st.kf_corr_scale[ref] - Tc[:3, 3])
@@ -335,6 +336,7 @@ class Mapit:
             st.mp_to_serialize[m] = False
             if "_client_pos" in p:
                 st.mp_pre_corr_pos[m] = p["_client_pos"]
+                st.mp_post_corr_pos[m] = st.mp_pos[m]
                 st.mp_corrected[m] = True
             self.shipped_mp.add(p["gid"])
             # replay the shipped observation set (reference restores
@@ -411,10 +413,13 @@ class Mapit:
                 T = np.asarray(r.args[0])
                 if self._slice_stale and st.kf_corrected[k]:
                     # stale gauge: carry the client's relative refinement
-                    # (vs the pre-correction pose) onto the corrected pose
+                    # (vs the pre-correction pose) onto the FIXED
+                    # post-correction snapshot — successive stale slices
+                    # carry cumulative deltas, so conjugating onto the
+                    # live pose would compound them
                     delta = T @ np.linalg.inv(st.kf_pre_corr_pose[k])
                     delta[:3, 3] /= st.kf_corr_scale[k]
-                    T = (delta @ st.kf_pose_cw[k]).astype(np.float32)
+                    T = (delta @ st.kf_post_corr_pose[k]).astype(np.float32)
                 st.set_kf_pose(k, T, log=False)
             elif r.func == "SetBadFlag":
                 st.set_kf_bad(k, log=False)
@@ -435,12 +440,14 @@ class Mapit:
         if r.func == "SetWorldPos":
             x = np.asarray(r.args[0], np.float32)
             if self._slice_stale and st.mp_corrected[m]:
-                # stale gauge: keep the corrected position, fold in the
-                # client's (small) refinement delta rescaled to the
-                # corrected frame
+                # stale gauge: keep the (fixed) corrected position, fold
+                # in the client's refinement delta rescaled to the
+                # corrected frame — against the post-correction snapshot,
+                # not the live position, to avoid compounding cumulative
+                # deltas across successive stale slices
                 ref = int(st.mp_ref_kf[m])
                 scl = float(st.kf_corr_scale[ref]) if ref >= 0 else 1.0
-                x = (st.mp_pos[m]
+                x = (st.mp_post_corr_pos[m]
                      + (x - st.mp_pre_corr_pos[m]) / scl).astype(np.float32)
             st.set_mp_pos(m, x, log=False)
         elif r.func == "AddObservation":

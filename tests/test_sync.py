@@ -228,9 +228,11 @@ def test_stale_gauge_slice_reexpressed():
         T = server.kf_pose_cw[k].copy()
         T[:3, 3] += shift
         server.set_kf_pose(k, T, log=False)
+        server.kf_post_corr_pose[k] = T
     server.mp_pre_corr_pos[0] = server.mp_pos[0]
     server.mp_corrected[0] = True
     server.set_mp_pos(0, server.mp_pos[0] - shift, log=False)
+    server.mp_post_corr_pos[0] = server.mp_pos[0]
 
     # stale client push: small refinements + a NEW keyframe and point,
     # all still in the old gauge
@@ -278,6 +280,7 @@ def test_fresh_slice_retires_stale_gauge_guard():
     T = server.kf_pose_cw[0].copy()
     T[:3, 3] += shift
     server.set_kf_pose(0, T, log=False)
+    server.kf_post_corr_pose[0] = T
     # client receives the correction (as the distribute would deliver)
     client.set_kf_pose(k0, T, log=False)
     # ... and pushes a post-correction refinement
@@ -287,3 +290,31 @@ def test_fresh_slice_retires_stale_gauge_guard():
     sm.apply_slice(codec.decode_slice(codec.encode_slice(cm.archive())))
     np.testing.assert_allclose(server.kf_pose_cw[0], T2, atol=1e-6)
     assert not server.kf_corrected[0]
+
+
+def test_stale_gauge_cumulative_slices_do_not_compound():
+    """Successive stale slices carry CUMULATIVE client payloads; each
+    must conjugate onto the fixed post-correction snapshot — composing
+    onto the live pose would double-apply the deltas and blow up the
+    gauge (observed: a 5x scale collapse at campaign scale)."""
+    client = make_store(map_id=0)
+    cm = Mapit(client)
+    k0 = add_kf(client, 0)
+    server = make_store(map_id=0)
+    sm = Mapit(server)
+    sm.apply_slice(codec.decode_slice(codec.encode_slice(cm.archive())))
+    shift = np.array([0, 0, 1.0], np.float32)
+    server.kf_pre_corr_pose[0] = server.kf_pose_cw[0]
+    T = server.kf_pose_cw[0].copy()
+    T[:3, 3] += shift
+    server.set_kf_pose(0, T, log=False)
+    server.kf_post_corr_pose[0] = T
+    server.kf_corrected[0] = True
+    # three successive stale pushes, each with a LARGER cumulative
+    # refinement in the old gauge
+    for i, dx in enumerate((0.05, 0.10, 0.15)):
+        client.set_kf_pose(k0, _pose(t=(dx, 0, 0)))
+        sm.apply_slice(codec.decode_slice(codec.encode_slice(cm.archive())))
+        np.testing.assert_allclose(
+            server.kf_pose_cw[0][:3, 3], [dx, 0, 1.0], atol=1e-5,
+            err_msg=f"slice {i}: cumulative delta compounded")
