@@ -63,7 +63,8 @@ class LoopClosing:
             if res is None:
                 continue
             s, R, t, mp_pairs = res
-            self.correct_loop(k, cand, s, R, t, mp_pairs)
+            if not self.correct_loop(k, cand, s, R, t, mp_pairs):
+                continue
             self.last_loop_kf = k
             self.n_loops_closed += 1
             return True
@@ -110,14 +111,47 @@ class LoopClosing:
         return res["s"], res["R"], res["t"], (res["mp1"], res["mp2"])
 
     # ------------------------------------------------------------------
+    def map_reproj_cost(self, chi2_cap: float = 25.0) -> float:
+        """Mean capped reprojection chi2 over all live observations —
+        the self-consistency metric guarding loop corrections (host
+        numpy; ~100 ms at 150k observations)."""
+        st = self.store
+        om, okf, okp = st.obs_arrays()
+        sel = st.mp_alive[om] & st.kf_alive[okf]
+        om, okf, okp = om[sel], okf[sel], okp[sel]
+        if len(om) == 0:
+            return 0.0
+        T = st.kf_pose_cw[okf]
+        pc = np.einsum("nij,nj->ni", T[:, :3, :3], st.mp_pos[om]) + T[:, :3, 3]
+        z = np.maximum(pc[:, 2], 1e-6)
+        K = st.kf_K[okf]
+        u = K[:, 0, 0] * pc[:, 0] / z + K[:, 0, 2]
+        v = K[:, 1, 1] * pc[:, 1] / z + K[:, 1, 2]
+        uv = st.kf_kp_uv[okf, okp]
+        inv_s2 = (1.0 / self.scale_factor
+                  ** (2.0 * st.kf_kp_octave[okf, okp]))
+        chi2 = ((u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2) * inv_s2
+        chi2 = np.where(pc[:, 2] > 0, chi2, chi2_cap)
+        return float(np.minimum(chi2, chi2_cap).mean())
+
     def correct_loop(self, k: int, loop_kf: int, s: float, R: np.ndarray,
-                     t: np.ndarray, mp_pairs=None):
+                     t: np.ndarray, mp_pairs=None) -> bool:
         """Essential-graph correction (reference: CorrectLoop).
 
         (s,R,t) = S_{k<-loop}: maps loop-KF camera coords into current-KF
-        camera coords.  The corrected pose of k is S_k_loop * T_loop_w."""
+        camera coords.  The corrected pose of k is S_k_loop * T_loop_w.
+
+        Unlike the reference, the correction is SELF-CHECKING: the mean
+        reprojection chi2 over the (unchanged) observation set is
+        measured before and after; a correction that blows it up is
+        rolled back atomically — a wrong loop Sim3 or an ill-conditioned
+        essential graph warps the entire replica otherwise."""
         st = self.store
+        cost_before = self.map_reproj_cost()
+        mp_slots_snap = st.alive_mp_slots()
+        mp_pos_snap = st.mp_pos[mp_slots_snap].copy()
         slots = st.alive_kf_slots()
+        pose_snap = st.kf_pose_cw[slots].copy()
         n = len(slots)
         slot_of = {int(kk): i for i, kk in enumerate(slots)}
         Riw = st.kf_pose_cw[slots][:, :3, :3].astype(np.float32)
@@ -231,6 +265,26 @@ class LoopClosing:
             T[:3, 3] = t_new[i] / s_new[i]
             st.set_kf_pose(int(kk), T)
             st.kf_post_corr_pose[kk] = T
+        # self-check over the UNCHANGED observation set: a sound
+        # correction moves poses and points together, roughly preserving
+        # reprojection; a wrong loop Sim3 / diverged essential graph
+        # shears them apart.  Roll back atomically rather than let the
+        # follow-up GBA converge the whole replica onto the warp.
+        cost_after = self.map_reproj_cost()
+        if cost_after > 2.0 * cost_before + 0.5:
+            _log.warning(
+                "loop correction REJECTED: map %d kf %d <-> kf %d would "
+                "raise mean reprojection chi2 %.2f -> %.2f — rolling back",
+                st.map_id, k, loop_kf, cost_before, cost_after)
+            for i, kk in enumerate(slots):
+                st.set_kf_pose(int(kk), pose_snap[i])
+            for m, p in zip(mp_slots_snap, mp_pos_snap):
+                st.set_mp_pos(int(m), p)
+            st.kf_corrected[slots] = False
+            st.mp_corrected[mp_slots_snap] = False
+            return False
+        _log.info("loop correction accepted: mean reprojection chi2 "
+                  "%.2f -> %.2f", cost_before, cost_after)
         st.add_loop_edge(k, loop_kf)
         # replace the current KF's matched points with the loop points
         # (reference: the mvpCurrentMatchedPoints loop in CorrectLoop)
@@ -247,6 +301,7 @@ class LoopClosing:
 
         if self.run_global_ba:
             self.global_ba()
+        return True
 
     # ------------------------------------------------------------------
     def search_and_fuse(self, k: int, loop_kf: int, window_th: float = 4.0,

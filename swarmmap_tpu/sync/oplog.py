@@ -255,9 +255,9 @@ class Mapit:
             st.kf_corrected[: st.n_kf] = False
             st.mp_corrected[: st.n_mp] = False
         elif self._slice_stale:
-            _log.info("stale-gauge slice (%d stale vs %d fresh pose votes)"
-                      " — re-expressing in the corrected frame",
-                      stale_v, fresh_v)
+            _log.info("stale-gauge slice for map %d (%d stale vs %d fresh "
+                      "pose votes) — re-expressing in the corrected frame",
+                      st.map_id, stale_v, fresh_v)
         # 1. keyframes
         new_kfs = []
         for p in sl.kfs:

@@ -164,6 +164,17 @@ def main() -> int:
         return out
 
     diag = bool(os.environ.get("SCALE_DIAG"))
+    if os.environ.get("SCALE_DIAG2"):
+        # per-push forensics: print each map's own-fit after every
+        # server pass to pinpoint which request introduces a warp
+        orig = type(swarm.scheduler).process_request
+
+        def wrapped(self, agent_id, sl, _orig=orig):
+            _orig(self, agent_id, sl)
+            print(f"  [diag] after push a{agent_id}: {_server_own_fit()}",
+                  flush=True)
+
+        swarm.scheduler.process_request = wrapped.__get__(swarm.scheduler)
     t0 = time.time()
     for i in range(N_FRAMES):
         swarm.step([s.read(i) for s in seqs], float(seqs[0].timestamps[i]))
