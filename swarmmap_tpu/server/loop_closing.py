@@ -105,6 +105,7 @@ class LoopClosing:
         res = sim3_match.compute_sim3_between(
             self.store, k, self.store, cand, self._split_key(),
             self.scale_factor, self.n_levels, self.min_sim3_inliers,
+            own_origin_only=True,
         )
         if res is None:
             return None
@@ -316,6 +317,12 @@ class LoopClosing:
         flat = rows[rows != NO_MP]
         uniq = np.unique(flat)
         uniq = uniq[st.mp_alive[uniq]]
+        # own-origin only: replacing own points with foreign-fused
+        # duplicates injects the OTHER map's gauge into this replica
+        # (see compute_sim3_between own_origin_only)
+        from .. import MAP_BASE
+
+        uniq = uniq[(st.mp_gid[uniq] // MAP_BASE) == st.map_id]
         targets = [k] + st.covisible_kfs(k, max_targets - 1)
         if not len(uniq) or not targets:
             return 0

@@ -142,13 +142,28 @@ def compute_sim3_between(
     st1: MapStore, k1: int, st2: MapStore, k2: int, rng_key,
     scale_factor: float, n_levels: int, min_inliers: int,
     min_bow_matches: int = 20, guided_th: float = 7.5,
+    own_origin_only: bool = False,
 ):
     """Full ComputeSim3 pipeline between (st1, k1) and (st2, k2).
 
     Returns None on rejection, else a dict with the accepted Sim3
     S12 (camera-2 -> camera-1 coords), the matched map-point pairs
     (slot arrays in each store), and the inlier count.
+
+    own_origin_only: restrict the correspondence set to points
+    ORIGINATING in each store's own map (gid // MAP_BASE == map_id).
+    Required for INTRA-map loop closing after cross-map fusion: fused
+    foreign duplicates sit at positions governed by the other map's
+    gauge, so a loop Sim3 measured through them reports the inter-map
+    alignment error as phantom drift (observed: s=1.08 "loops" on maps
+    with <1% real drift, warping the whole replica when corrected).
     """
+    from .. import MAP_BASE
+
+    def _own_mask(st, mps):
+        if not own_origin_only:
+            return np.ones(len(mps), bool)
+        return (st.mp_gid[mps] // MAP_BASE) == st.map_id
     # 1. BoW-node match over keypoints that hold alive map points
     node_m = matching.node_mask(
         jnp.asarray(st1.kf_nodes[k1]), jnp.asarray(st2.kf_nodes[k2]),
@@ -166,6 +181,7 @@ def compute_sim3_between(
     mp1 = st1.kf_kp_mp[k1, kq]
     mp2 = st2.kf_kp_mp[k2, idx[kq]]
     ok = (mp1 != NO_MP) & (mp2 != NO_MP) & st1.mp_alive[mp1] & st2.mp_alive[mp2]
+    ok &= _own_mask(st1, mp1) & _own_mask(st2, mp2)
     mp1, mp2, kq = mp1[ok], mp2[ok], kq[ok]
     kt = idx[kq]
     if len(mp1) < min_bow_matches:
@@ -220,6 +236,8 @@ def compute_sim3_between(
         gmp1 = st1.kf_kp_mp[k1, gq]
         gmp2 = st2.kf_kp_mp[k2, gi[gq]]
         gok = (gmp1 != NO_MP) & (gmp2 != NO_MP)
+        gok &= _own_mask(st1, np.clip(gmp1, 0, st1.n_mp - 1))
+        gok &= _own_mask(st2, np.clip(gmp2, 0, st2.n_mp - 1))
         gq, gmp1, gmp2 = gq[gok], gmp1[gok], gmp2[gok]
         kq = np.concatenate([kq, gq])
         kt = np.concatenate([kt, gi[gq]])
