@@ -10,6 +10,8 @@ SearchAndFuse, optional global BA.  On clients the thread never starts
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -148,6 +150,29 @@ class LoopClosing:
         rolled back atomically — a wrong loop Sim3 or an ill-conditioned
         essential graph warps the entire replica otherwise."""
         st = self.store
+        dump_dir = os.environ.get("SWARMMAP_DUMP_LOOP")
+        if dump_dir:
+            # forensics: snapshot the replica + the measured Sim3 so a
+            # warping correction can be replayed in isolation
+            import pickle
+
+            from ..sync.oplog import full_archive
+            from ..sync import codec as _codec
+
+            path = os.path.join(
+                dump_dir, f"loop_map{st.map_id}_k{k}_l{loop_kf}.pkl")
+            with open(path, "wb") as f:
+                pickle.dump({
+                    "slice": _codec.encode_slice(full_archive(st)),
+                    "map_id": st.map_id, "k": k, "loop_kf": loop_kf,
+                    "s": s, "R": np.asarray(R), "t": np.asarray(t),
+                    "parent": st.kf_parent[: st.n_kf].copy(),
+                    "kf_ts": st.kf_ts[: st.n_kf].copy(),
+                    "kf_alive": st.kf_alive[: st.n_kf].copy(),
+                    "kf_genuine": st.kf_genuine[: st.n_kf].copy(),
+                    "kf_gid": st.kf_gid[: st.n_kf].copy(),
+                }, f)
+            _log.info("loop case dumped to %s", path)
         cost_before = self.map_reproj_cost()
         mp_slots_snap = st.alive_mp_slots()
         mp_pos_snap = st.mp_pos[mp_slots_snap].copy()

@@ -45,6 +45,12 @@ class MediatorScheduler:
         # is deterministic (combined-mode tests gate on it).
         self.background_gba = background_gba
         self._heap: list = []
+        # per-agent FIFO under the STS heap: priorities order WHICH AGENT
+        # is served next, but one agent's slices must apply in push order
+        # — the op-log protocol is sequential per stream (an out-of-order
+        # newer slice would regress poses and build partial replicas that
+        # loop closing then corrects against)
+        self._fifo: dict[int, object] = {}
         self._seq = itertools.count()
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
@@ -78,8 +84,11 @@ class MediatorScheduler:
             return
         sl = codec.decode_slice(payload)
         prio = self._priority(med, sl)
+        from collections import deque
+
         with self._cv:
-            heapq.heappush(self._heap, (prio, agent_id, sl))
+            self._fifo.setdefault(agent_id, deque()).append(sl)
+            heapq.heappush(self._heap, (prio, agent_id))
             self._cv.notify()
 
     def report_state(self, agent_id: int, state):
@@ -127,8 +136,7 @@ class MediatorScheduler:
                 # every push still buys forward GBA progress.
                 def newer_pending():
                     with self._lock:
-                        return any(aid == agent_id
-                                   for _, aid, _sl in self._heap)
+                        return bool(self._fifo.get(agent_id))
 
                 med.loop_closing.global_ba(self.gba_iters,
                                            should_abort=newer_pending,
@@ -185,7 +193,8 @@ class MediatorScheduler:
             with self._cv:
                 if not self._heap:
                     return n
-                _, agent_id, sl = heapq.heappop(self._heap)
+                _, agent_id = heapq.heappop(self._heap)
+                sl = self._fifo[agent_id].popleft()
             self.process_request(agent_id, sl)
             n += 1
 
@@ -197,7 +206,8 @@ class MediatorScheduler:
                         self._cv.wait(0.1)
                     if self._stop:
                         return
-                    _, agent_id, sl = heapq.heappop(self._heap)
+                    _, agent_id = heapq.heappop(self._heap)
+                    sl = self._fifo[agent_id].popleft()
                     self._in_flight = True
                 try:
                     self.process_request(agent_id, sl)
