@@ -561,8 +561,9 @@ class Tracking:
                 # already ran this frame and keeps running on the next —
                 # the only change is not nulling the pose / state.
                 self.grace += 1
-                if not (pose_acquired and frame.pose_cw is not None
-                        and self.matches_inliers >= 10):
+                has_pose = (pose_acquired and frame.pose_cw is not None
+                            and self.matches_inliers >= 10)
+                if not has_pose:
                     # no usable sub-threshold pose: dead-reckon
                     frame.pose_cw = self.velocity @ self.last_frame.pose_cw
                 if self.grace == 1 or self.grace % 10 == 0:
@@ -572,6 +573,16 @@ class Tracking:
                         self.grace, self.p.recently_lost_frames,
                         frame.frame_id, self.matches_inliers,
                     )
+                # rescue keyframe: a sub-threshold pose with decent
+                # support still extends the map — without it, no new
+                # points get triangulated in the weak region, inliers
+                # stay pinned below the threshold, and the grace window
+                # just delays the death spiral (observed: 40 frames at
+                # 17 inliers, then LOST for the rest of the circuit)
+                if (has_pose
+                        and self.matches_inliers >= self.p.kf_min_inliers
+                        and self._need_new_keyframe(frame)):
+                    self._create_new_keyframe(frame)
                 return
             if self.state != TrackingState.LOST:
                 st = self.store

@@ -138,7 +138,13 @@ class MapManager:
 
         from ..core.local_mapping import _batched_fuse_match
 
-        fused = 0
+        # -- pass 1: MATCH ONLY (no mutation).  Collect duplicate pairs
+        # first so the group transform can be POLISHED before any src
+        # position is written into dst — inserting with the coarse merge
+        # Sim3 and refining afterwards left every injected copy offset
+        # by the refinement delta (observed ds up to 6%), which degraded
+        # the dst client's tracking until the agent got lost.
+        matches: list[tuple[int, int, int]] = []  # (qi, kf, kp)
         pair_p1: list[np.ndarray] = []  # dst duplicate position (dst-local)
         pair_p2: list[np.ndarray] = []  # src point position (dst-local)
         n_kp = st_d.n_kp
@@ -175,29 +181,46 @@ class MapManager:
                 for qi in np.where(valid_b[bi])[0]:
                     if qi >= len(src_slots):
                         continue
-                    m_new = self._ensure_foreign_point(
-                        st_d, st_s, int(src_slots[qi]), pos_d[qi], nrm_d[qi],
-                        float(mind_d[qi]), float(maxd_d[qi]),
-                    )
-                    if m_new is None:
-                        continue
                     kp = int(idx_b[bi, qi])
+                    matches.append((int(qi), k, kp))
                     mp_old = int(st_d.kf_kp_mp[k, kp])
                     if mp_old != NO_MP and st_d.mp_alive[mp_old]:
-                        if mp_old == m_new:
-                            continue
                         pair_p1.append(st_d.mp_pos[mp_old].copy())
                         pair_p2.append(pos_d[qi])
-                        # dst's duplicate is replaced by the src point
-                        # (reference: pRep->Replace(otherMapPoints[i]))
-                        st_d.replace_mp(mp_old, m_new)
-                    else:
-                        st_d.add_observation(m_new, k, kp)
-                    if st_d.mp_ref_kf[m_new] < 0:
-                        st_d.mp_ref_kf[m_new] = k
-                    fused += 1
+        if not matches:
+            return 0
+        # -- polish src's Twl from the duplicate pairs, then recompute
+        # the injected geometry under the refined transform
+        self._refine_group_transform(st_d, st_s, pair_p1, pair_p2)
+        pos_w = st_s.mp_global_pos(src_slots)
+        Rl = st_d.Twl_R.T / st_d.Twl_s
+        pos_d = (pos_w - st_d.Twl_t) @ Rl.T
+        nrm_d = (st_s.mp_normal[src_slots] @ st_s.Twl_R.T) @ st_d.Twl_R
+        s_rel = float(st_s.Twl_s) / float(st_d.Twl_s)
+        maxd_d = st_s.mp_max_dist[src_slots] * s_rel
+        mind_d = st_s.mp_min_dist[src_slots] * s_rel
+        # -- pass 2: mutate with polished positions
+        fused = 0
+        for qi, k, kp in matches:
+            m_new = self._ensure_foreign_point(
+                st_d, st_s, int(src_slots[qi]), pos_d[qi], nrm_d[qi],
+                float(mind_d[qi]), float(maxd_d[qi]),
+            )
+            if m_new is None:
+                continue
+            mp_old = int(st_d.kf_kp_mp[k, kp])
+            if mp_old != NO_MP and st_d.mp_alive[mp_old]:
+                if mp_old == m_new:
+                    continue
+                # dst's duplicate is replaced by the src point
+                # (reference: pRep->Replace(otherMapPoints[i]))
+                st_d.replace_mp(mp_old, m_new)
+            else:
+                st_d.add_observation(m_new, k, kp)
+            if st_d.mp_ref_kf[m_new] < 0:
+                st_d.mp_ref_kf[m_new] = k
+            fused += 1
         if fused:
-            self._refine_group_transform(st_d, st_s, pair_p1, pair_p2)
             for k in st_d.alive_kf_slots():
                 st_d.update_connections(int(k), log=False)
             _log.info("fused %d cross-map matches: map %d <- map %d",

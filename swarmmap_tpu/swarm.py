@@ -158,6 +158,7 @@ class Swarm:
             self.scheduler.register_mediator(med)
             self.mediators.append(med)
         self._pending_distribute: dict[int, list[bytes]] = {i: [] for i in range(n_agents)}
+        self._dist_lock = threading.Lock()
         if self.config.async_mapping:
             for a in self.agents:
                 a.system.local_mapping.start_async()
@@ -191,7 +192,8 @@ class Swarm:
 
     # -- transport (loopback function calls) --------------------------------
     def _distribute(self, agent_id: int, payload: bytes):
-        self._pending_distribute[agent_id].append(payload)
+        with self._dist_lock:
+            self._pending_distribute[agent_id].append(payload)
 
     # -- stepping ------------------------------------------------------------
     def step(self, images: list[np.ndarray | None], ts: float):
@@ -413,10 +415,39 @@ class Swarm:
                 self.scheduler.enqueue_request(agent.agent_id, payload)
         if not self.config.async_server:
             self.scheduler.process_pending()
+        self._deliver_pending()
+
+    def _deliver_pending(self):
+        """Hand queued server distributes to their clients.  The worker
+        thread appends concurrently; swap each list out under the lock,
+        deliver outside it."""
         for agent in self.agents:
-            for payload in self._pending_distribute[agent.agent_id]:
+            with self._dist_lock:
+                batch = self._pending_distribute[agent.agent_id]
+                if not batch:
+                    continue
+                self._pending_distribute[agent.agent_id] = []
+            for payload in batch:
                 agent.receive_distribute(payload)
-            self._pending_distribute[agent.agent_id].clear()
+
+    def _drain_server(self, timeout: float = 300.0):
+        """Drain the async server queue while PUMPING distributes to the
+        clients — the live cadence.  Parking them until the end would
+        leave every queued push in the pre-correction gauge after a
+        server-side loop correction (the stale-gauge guard covers that,
+        but prompt delivery retires it the way live operation does)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            self._deliver_pending()
+            with self.scheduler._cv:
+                idle = (not self.scheduler._heap
+                        and not getattr(self.scheduler, "_in_flight", False))
+            if idle:
+                break
+            _time.sleep(0.05)
+        self._deliver_pending()
 
     def finish(self):
         """Final flush (reference stops after 6 empty pushes; one final
@@ -426,16 +457,12 @@ class Swarm:
             for a in self.agents:
                 a.system.local_mapping.stop_async()
         if self.config.async_server:
-            self.scheduler.wait_queue_idle()
+            self._drain_server()
         self.sync()
         if self.config.async_server:
-            self.scheduler.wait_queue_idle()
+            self._drain_server()
             self.scheduler.stop()
-            # deliver any distributes produced by the final drain
-            for agent in self.agents:
-                for payload in self._pending_distribute[agent.agent_id]:
-                    agent.receive_distribute(payload)
-                self._pending_distribute[agent.agent_id].clear()
+            self._deliver_pending()
 
     # -- outputs ---------------------------------------------------------------
     def merged_groups(self) -> list[set[int]]:
