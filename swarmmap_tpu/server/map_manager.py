@@ -303,6 +303,82 @@ class MapManager:
         return m
 
     # ------------------------------------------------------------------
+    def polish_group_transforms(self, sweeps: int = 2,
+                                min_pairs: int = 30) -> None:
+        """Tighten every group's inter-map gauge from LIVE duplicate
+        pairs: each foreign copy (gid // MAP_BASE != host map) and its
+        owner's instance are the same physical landmark, so their GLOBAL
+        positions should coincide; any residual is Twl misalignment.
+        One Umeyama Sim3 fit per non-reference map per sweep
+        (Gauss-Seidel over the group, reference = lowest map id).
+
+        The merge-time refinement only sees the pairs found during that
+        fuse; this polish runs over the full current pair set after BA
+        has settled, so it is the natural finish/periodic pass
+        (EdgeSim3RelativeXYZ over live pairs, Optimizer.cc:1660)."""
+        from swarmmap_tpu import MAP_BASE
+
+        from ..utils.trajectory import umeyama_align
+
+        for gid, members in self.groups.items():
+            if len(members) < 2:
+                continue
+            order = sorted(members)
+            ref = order[0]
+            for _ in range(sweeps):
+                for mid in order:
+                    if mid == ref:
+                        continue
+                    st_m = self.stores[mid]
+                    own_g, other_g = [], []
+                    # pairs: m's OWN points that exist as foreign copies
+                    # in any other member store
+                    for did in order:
+                        if did == mid:
+                            continue
+                        st_d = self.stores[did]
+                        fm = np.where(
+                            st_d.mp_alive[: st_d.n_mp]
+                            & (st_d.mp_gid[: st_d.n_mp] // MAP_BASE == mid)
+                        )[0]
+                        if len(fm) == 0:
+                            continue
+                        gids = st_d.mp_gid[fm]
+                        own = np.array(
+                            [st_m.mp_by_gid.get(int(g), -1) for g in gids],
+                            np.int64)
+                        ok = own >= 0
+                        ok[ok] &= st_m.mp_alive[own[ok]]
+                        if not ok.any():
+                            continue
+                        own_g.append(st_m.mp_global_pos(own[ok]))
+                        other_g.append(st_d.mp_global_pos(fm[ok]))
+                    if not own_g:
+                        continue
+                    a = np.concatenate(own_g)
+                    b = np.concatenate(other_g)
+                    if len(a) < min_pairs:
+                        continue
+                    # robust trim: drop the worst 20% pairs (mismatched
+                    # fusions) before the final fit
+                    s, R, t = umeyama_align(a, b)
+                    res = np.linalg.norm(a @ (s * R).T + t - b, axis=1)
+                    keep = res <= np.quantile(res, 0.8)
+                    if keep.sum() < min_pairs:
+                        continue
+                    s, R, t = umeyama_align(a[keep], b[keep])
+                    if not (0.9 <= s <= 1.1):
+                        continue  # a gross fit means bad pairs, not gauge
+                    # G maps m's current global frame closer to the
+                    # consensus: Twl_m_new = G o Twl_m
+                    Rn = (R @ st_m.Twl_R).astype(np.float32)
+                    tn = (s * (R @ st_m.Twl_t) + t).astype(np.float32)
+                    sn = float(s * st_m.Twl_s)
+                    st_m.set_transform(Rn, tn, sn, exact=True)
+            _log.info("polished group %d transforms over %d maps",
+                      gid, len(order))
+
+    # ------------------------------------------------------------------
     def keyframe_culling(self, map_id: int, redundancy: float = 0.85):
         """Post-fusion culling (reference: MapManager::KeyFrameCulling,
         >=85% redundant observations)."""

@@ -458,6 +458,10 @@ class Swarm:
                 a.system.local_mapping.stop_async()
         if self.config.async_server:
             self._drain_server()
+        # final inter-map gauge polish over the full live duplicate-pair
+        # set (the merge-time refinement only saw its own fuse pairs);
+        # the queue is drained, so the stores are quiescent
+        self.map_manager.polish_group_transforms()
         self.sync()
         if self.config.async_server:
             self._drain_server()

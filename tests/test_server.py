@@ -363,3 +363,41 @@ def test_set_transform_still_blends_estimates(rng):
     st.set_transform(np.eye(3, dtype=np.float32), t_new, 1.0)
     # blended: strictly between old (0) and new (1)
     assert 0.0 < float(st.Twl_t[0]) < 1.0
+
+
+def test_polish_group_transforms_recovers_gauge():
+    """A deliberately perturbed member Twl is pulled back to consensus
+    from live duplicate pairs (foreign copies vs owners)."""
+    import numpy as np
+
+    from swarmmap_tpu import MAP_BASE
+    from swarmmap_tpu.core.map_store import MapStore
+    from swarmmap_tpu.server.map_manager import MapManager
+
+    mgr = MapManager()
+    st0 = MapStore(map_id=0, n_kp=32)
+    st1 = MapStore(map_id=1, n_kp=32)
+    mgr.register(st0)
+    mgr.register(st1)
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-4, 4, (60, 3)).astype(np.float32)
+    desc = rng.randint(0, 2**32, (60, 8), dtype=np.uint32)
+    # map 1 owns the points; map 0 holds foreign copies of them
+    for i in range(60):
+        st1.add_map_point(pts[i], desc[i], ref_kf=-1,
+                          gid=MAP_BASE * 1 + i)
+        st0.add_map_point(pts[i], desc[i], ref_kf=-1,
+                          gid=MAP_BASE * 1 + i)
+    # same group; map 1's Twl perturbed by a known Sim3
+    st1.group_id = st0.group_id = 0
+    mgr.groups = {0: {0, 1}}
+    s_err, t_err = 1.04, np.array([0.3, -0.2, 0.1], np.float32)
+    st1.set_transform(np.eye(3, dtype=np.float32) , t_err, s_err, exact=True)
+    before = np.linalg.norm(
+        st1.mp_global_pos(np.arange(60)) - st0.mp_global_pos(np.arange(60)),
+        axis=1).mean()
+    mgr.polish_group_transforms()
+    after = np.linalg.norm(
+        st1.mp_global_pos(np.arange(60)) - st0.mp_global_pos(np.arange(60)),
+        axis=1).mean()
+    assert before > 0.2 and after < 0.02, (before, after)
