@@ -401,3 +401,41 @@ def test_polish_group_transforms_recovers_gauge():
         st1.mp_global_pos(np.arange(60)) - st0.mp_global_pos(np.arange(60)),
         axis=1).mean()
     assert before > 0.2 and after < 0.02, (before, after)
+
+
+def test_scheduler_per_agent_fifo(monkeypatch):
+    """STS priorities pick which agent is served next, but one agent's
+    slices must apply in push order even when a later push would sort
+    first by contribution (the op-log is sequential per stream)."""
+    import numpy as np
+
+    from swarmmap_tpu.ops.vocab import default_vocabulary
+    from swarmmap_tpu.server.map_manager import MapManager
+    from swarmmap_tpu.server.mediator import AgentMediator
+    from swarmmap_tpu.server.scheduler import MediatorScheduler
+    from swarmmap_tpu.sync import codec
+    from swarmmap_tpu.sync.oplog import MapSlice, UpdateRecord
+
+    vocab = default_vocabulary()
+    AgentMediator.registry.clear()
+    mm = MapManager()
+    sched = MediatorScheduler(mm, gba_iters=0)
+    med = AgentMediator(0, vocab, mm, n_kp=64)
+    sched.register_mediator(med)
+
+    # big slice pushed FIRST, tiny slice pushed SECOND: contribution
+    # scoring would sort the tiny one (smaller load) differently —
+    # processing must still be push order
+    seen: list[int] = []
+    monkeypatch.setattr(
+        sched, "process_request",
+        lambda agent_id, sl: seen.append(len(sl.updates)))
+    big = MapSlice(map_id=0, kfs=[], mps=[], updates=[
+        UpdateRecord(i, "mp", "SetVisible", 10**6 + i, (1,))
+        for i in range(50)], twl=None)
+    tiny = MapSlice(map_id=0, kfs=[], mps=[], updates=[
+        UpdateRecord(0, "mp", "SetVisible", 10**6, (2,))], twl=None)
+    sched.enqueue_request(0, codec.encode_slice(big))
+    sched.enqueue_request(0, codec.encode_slice(tiny))
+    assert sched.process_pending() == 2
+    assert seen == [50, 1], f"same-agent slices reordered: {seen}"
