@@ -104,6 +104,13 @@ class MapStore:
         # pose would double-apply them and blow the gauge up
         self.kf_post_corr_pose = np.zeros((kf_capacity, 4, 4), np.float32)
         self.kf_corr_scale = np.ones(kf_capacity, np.float32)
+        # monotonically increasing gauge epoch: incremented by every
+        # accepted server-side correction, echoed by clients in their
+        # pushes (MapSlice.epoch) so staleness is decided by protocol
+        # metadata, not a geometric vote over SetPose records — a
+        # backlogged push carrying only NEW elements has no poses to
+        # vote with, yet is exactly the stale case the guard exists for
+        self.gauge_epoch = 0
 
         # -- map points -----------------------------------------------------
         self.n_mp = 0

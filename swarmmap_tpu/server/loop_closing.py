@@ -263,10 +263,24 @@ class LoopClosing:
         # pre-correction pose (+ the per-node correction scale) so client
         # pushes created before this correction round-tripped can be
         # re-expressed in the corrected frame at apply time
-        # (sync/oplog.py; see MapStore.kf_corrected)
+        # (sync/oplog.py; see MapStore.kf_corrected).  Snapshot the guard
+        # state of any still-active PREVIOUS correction first: a rollback
+        # must restore it, not wipe it — clearing wholesale lets the next
+        # stale push apply verbatim and half-revert the earlier one.
+        guard_snap = (
+            st.kf_corrected[slots].copy(),
+            st.kf_pre_corr_pose[slots].copy(),
+            st.kf_post_corr_pose[slots].copy(),
+            st.kf_corr_scale[slots].copy(),
+            st.mp_corrected[mp_slots_snap].copy(),
+            st.mp_pre_corr_pos[mp_slots_snap].copy(),
+            st.mp_post_corr_pos[mp_slots_snap].copy(),
+            st.gauge_epoch,
+        )
         st.kf_pre_corr_pose[slots] = st.kf_pose_cw[slots]
         st.kf_corrected[slots] = True
         st.kf_corr_scale[slots] = s_new
+        st.gauge_epoch += 1
         for m in st.alive_mp_slots():
             ref = int(st.mp_ref_kf[m])
             i = slot_of.get(ref)
@@ -306,8 +320,12 @@ class LoopClosing:
                 st.set_kf_pose(int(kk), pose_snap[i])
             for m, p in zip(mp_slots_snap, mp_pos_snap):
                 st.set_mp_pos(int(m), p)
-            st.kf_corrected[slots] = False
-            st.mp_corrected[mp_slots_snap] = False
+            (st.kf_corrected[slots], st.kf_pre_corr_pose[slots],
+             st.kf_post_corr_pose[slots], st.kf_corr_scale[slots],
+             st.mp_corrected[mp_slots_snap],
+             st.mp_pre_corr_pos[mp_slots_snap],
+             st.mp_post_corr_pos[mp_slots_snap],
+             st.gauge_epoch) = guard_snap
             return False
         _log.info("loop correction accepted: mean reprojection chi2 "
                   "%.2f -> %.2f", cost_before, cost_after)

@@ -171,6 +171,8 @@ class Swarm:
 
         self.mesh = None
         self._mesh_step = None
+        self._n_overlap_desc = 128  # prefilter descriptor-bank size D
+        self._overlap_norm = float(self._n_overlap_desc)
         self.overlap_hint = None  # [N,N] cross-agent descriptor overlap
         n_dev = len(jax.devices())
         want_mesh = (self.config.mesh_agents
@@ -314,10 +316,15 @@ class Swarm:
             window_th = self.agents[0].system.tracking.p.fused_window_th
             if mesh_mode:
                 if self._mesh_step is None:
+                    # the overlap-hint normalizer must match the
+                    # prefilter's descriptor-bank size — thread the D we
+                    # build the step with instead of assuming 128
+                    self._overlap_norm = float(self._n_overlap_desc)
                     self._mesh_step = pipeline.make_multi_agent_step(
                         n_features=orb.n_features, n_levels=orb.n_levels,
                         scale=orb.scale_factor, hw=hw,
                         window_th=window_th, mesh=self.mesh,
+                        n_overlap_desc=self._n_overlap_desc,
                     )
                 out, overlap_dev, _total = self._mesh_step(inputs)
             else:
@@ -401,7 +408,8 @@ class Swarm:
             med = self.mediators[agent.agent_id] if agent.agent_id < len(self.mediators) else None
             if med is not None:
                 med.overlap_hint = {
-                    o: float(overlap[j, o]) / 128.0 for o in range(n) if o != j
+                    o: float(overlap[j, o]) / self._overlap_norm
+                    for o in range(n) if o != j
                 }
 
     def sync(self):

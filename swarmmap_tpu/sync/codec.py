@@ -114,6 +114,7 @@ def encode_slice(sl: MapSlice) -> bytes:
         "mps": sl.mps,
         "updates": [_update_to_wire(u) for u in sl.updates],
         "twl": list(sl.twl) if sl.twl is not None else None,
+        "epoch": sl.epoch,
     })
 
 
@@ -140,6 +141,7 @@ def decode_slice(data: bytes) -> MapSlice:
         mps=d["mps"],
         updates=[_update_from_wire(u) for u in d["updates"]],
         twl=tuple(d["twl"]) if d["twl"] is not None else None,
+        epoch=d.get("epoch"),
     )
 
 

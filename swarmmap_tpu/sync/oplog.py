@@ -62,6 +62,10 @@ class MapSlice:
     mps: list[dict]
     updates: list[UpdateRecord]
     twl: tuple | None = None  # (R,t,s) local->world, shipped when non-identity
+    # gauge epoch this slice was built under (MapStore.gauge_epoch at
+    # archive time).  None = legacy/reference peer without epoch
+    # metadata — the apply path falls back to the geometric pose vote.
+    epoch: int | None = None
 
     def counts(self) -> tuple[int, int, int]:
         return len(self.kfs), len(self.mps), len(self.updates)
@@ -161,7 +165,8 @@ class Mapit:
         if include_twl and (st.Twl_s != 1.0
                             or not np.allclose(st.Twl_R, np.eye(3))):
             twl = (st.Twl_R.copy(), st.Twl_t.copy(), float(st.Twl_s))
-        return MapSlice(map_id=st.map_id, kfs=kfs, mps=mps, updates=updates, twl=twl)
+        return MapSlice(map_id=st.map_id, kfs=kfs, mps=mps, updates=updates,
+                        twl=twl, epoch=st.gauge_epoch)
 
     def _kf_payload(self, k: int) -> dict:
         st = self.store
@@ -232,14 +237,31 @@ class Mapit:
         # 0. stale-gauge classification: after a server-side loop
         # correction rebased this replica, pushes the client created
         # BEFORE receiving the correction distribute still carry the old
-        # gauge.  Classify the slice by whether its SetPose payloads sit
-        # closer to the recorded pre-correction poses than to the current
-        # ones; a stale slice's geometry is re-expressed in the corrected
-        # frame below, a fresh one retires the guard.  Without this, a
-        # drained backlog of stale pushes leaves the map half-corrected
-        # and the next GBA blends the two gauges into a permanent warp.
-        stale_v = fresh_v = 0
-        if st.kf_corrected[: st.n_kf].any():
+        # gauge.  Primary signal is protocol metadata: every correction
+        # bumps MapStore.gauge_epoch, distributes stamp it into the
+        # slice, and clients echo the last epoch they saw — a push built
+        # under an older epoch is stale by definition, with no geometry
+        # involved.  Legacy slices (epoch=None, e.g. a reference peer on
+        # the boost wire) fall back to a pose vote over SetPose records
+        # against the recorded pre/post-correction snapshots; with the
+        # guard armed, no votes or a tie means STALE — a backlogged push
+        # carrying only new elements is exactly the deep-queue case the
+        # guard exists for.  A stale slice's geometry is re-expressed in
+        # the corrected frame below, a fresh one retires the guard.
+        guard_armed = bool(st.kf_corrected[: st.n_kf].any())
+        if not guard_armed:
+            self._slice_stale = False
+        elif sl.epoch is not None:
+            self._slice_stale = sl.epoch < st.gauge_epoch
+            if not self._slice_stale:
+                st.kf_corrected[: st.n_kf] = False
+                st.mp_corrected[: st.n_mp] = False
+            else:
+                _log.info("stale-gauge slice for map %d (epoch %d < %d) — "
+                          "re-expressing in the corrected frame",
+                          st.map_id, sl.epoch, st.gauge_epoch)
+        else:
+            stale_v = fresh_v = 0
             for r in sl.updates:
                 if r.kind == "kf" and r.func == "SetPose":
                     k = st.kf_by_gid.get(r.target)
@@ -250,14 +272,18 @@ class Mapit:
                             stale_v += 1
                         else:
                             fresh_v += 1
-        self._slice_stale = stale_v > fresh_v
-        if fresh_v and not self._slice_stale:
-            st.kf_corrected[: st.n_kf] = False
-            st.mp_corrected[: st.n_mp] = False
-        elif self._slice_stale:
-            _log.info("stale-gauge slice for map %d (%d stale vs %d fresh "
-                      "pose votes) — re-expressing in the corrected frame",
-                      st.map_id, stale_v, fresh_v)
+            self._slice_stale = fresh_v <= stale_v  # no votes / tie => stale
+            if fresh_v and not self._slice_stale:
+                st.kf_corrected[: st.n_kf] = False
+                st.mp_corrected[: st.n_mp] = False
+            elif self._slice_stale:
+                _log.info("stale-gauge slice for map %d (%d stale vs %d "
+                          "fresh pose votes) — re-expressing in the "
+                          "corrected frame", st.map_id, stale_v, fresh_v)
+        # a slice never lowers the receiver's epoch; distributes raise the
+        # client's so its next push echoes the corrected gauge
+        if sl.epoch is not None and sl.epoch > st.gauge_epoch:
+            st.gauge_epoch = sl.epoch
         # 1. keyframes
         new_kfs = []
         for p in sl.kfs:
@@ -441,14 +467,20 @@ class Mapit:
             x = np.asarray(r.args[0], np.float32)
             if self._slice_stale and st.mp_corrected[m]:
                 # stale gauge: keep the (fixed) corrected position, fold
-                # in the client's refinement delta rescaled to the
-                # corrected frame — against the post-correction snapshot,
-                # not the live position, to avoid compounding cumulative
-                # deltas across successive stale slices
+                # in the client's refinement delta mapped through the
+                # reference keyframe's pre->post Sim3 (rotation AND
+                # scale) — against the post-correction snapshot, not the
+                # live position, to avoid compounding cumulative deltas
+                # across successive stale slices.  With x = pre + d the
+                # full-point mapping x' = Rc^T((Rp x + tp)/s - tc)
+                # reduces to post + Rc^T Rp d / s.
                 ref = int(st.mp_ref_kf[m])
-                scl = float(st.kf_corr_scale[ref]) if ref >= 0 else 1.0
-                x = (st.mp_post_corr_pos[m]
-                     + (x - st.mp_pre_corr_pos[m]) / scl).astype(np.float32)
+                d = x - st.mp_pre_corr_pos[m]
+                if ref >= 0 and st.kf_corrected[ref]:
+                    Rp = st.kf_pre_corr_pose[ref][:3, :3]
+                    Rc = st.kf_post_corr_pose[ref][:3, :3]
+                    d = (Rc.T @ (Rp @ d)) / float(st.kf_corr_scale[ref])
+                x = (st.mp_post_corr_pos[m] + d).astype(np.float32)
             st.set_mp_pos(m, x, log=False)
         elif r.func == "AddObservation":
             k = st.kf_by_gid.get(r.args[0])
@@ -487,7 +519,8 @@ def full_archive(store: MapStore) -> MapSlice:
     System::SaveMap, System.cc:349; map-client-<id>.bin)."""
     mapit = Mapit.__new__(Mapit)
     mapit.store = store
-    sl = MapSlice(map_id=store.map_id, kfs=[], mps=[], updates=[], twl=None)
+    sl = MapSlice(map_id=store.map_id, kfs=[], mps=[], updates=[], twl=None,
+                  epoch=store.gauge_epoch)
     for k in store.alive_kf_slots():
         sl.kfs.append(Mapit._kf_payload(mapit, int(k)))
     for m in store.alive_mp_slots():

@@ -233,6 +233,7 @@ def test_stale_gauge_slice_reexpressed():
     server.mp_corrected[0] = True
     server.set_mp_pos(0, server.mp_pos[0] - shift, log=False)
     server.mp_post_corr_pos[0] = server.mp_pos[0]
+    server.gauge_epoch = 1  # the correction bumps the epoch
 
     # stale client push: small refinements + a NEW keyframe and point,
     # all still in the old gauge
@@ -281,8 +282,11 @@ def test_fresh_slice_retires_stale_gauge_guard():
     T[:3, 3] += shift
     server.set_kf_pose(0, T, log=False)
     server.kf_post_corr_pose[0] = T
-    # client receives the correction (as the distribute would deliver)
+    server.gauge_epoch = 1
+    # client receives the correction (as the distribute would deliver:
+    # corrected pose + the new gauge epoch stamped on the slice)
     client.set_kf_pose(k0, T, log=False)
+    client.gauge_epoch = 1
     # ... and pushes a post-correction refinement
     T2 = T.copy()
     T2[:3, 3] += [0.01, 0, 0]
@@ -310,6 +314,7 @@ def test_stale_gauge_cumulative_slices_do_not_compound():
     server.set_kf_pose(0, T, log=False)
     server.kf_post_corr_pose[0] = T
     server.kf_corrected[0] = True
+    server.gauge_epoch = 1
     # three successive stale pushes, each with a LARGER cumulative
     # refinement in the old gauge
     for i, dx in enumerate((0.05, 0.10, 0.15)):
@@ -318,3 +323,133 @@ def test_stale_gauge_cumulative_slices_do_not_compound():
         np.testing.assert_allclose(
             server.kf_pose_cw[0][:3, 3], [dx, 0, 1.0], atol=1e-5,
             err_msg=f"slice {i}: cumulative delta compounded")
+
+
+def _rot_z(deg):
+    c, s = np.cos(np.deg2rad(deg)), np.sin(np.deg2rad(deg))
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def test_stale_gauge_rotational_correction():
+    """A correction with a real ROTATION (+scale): the stale SetWorldPos
+    refinement delta must be rotated through the pre->post Sim3, not
+    applied translation-only (regression: the delta was folded in as
+    post + (x - pre)/s, wrong direction after any rotated correction)."""
+    client = make_store(map_id=0)
+    cm = Mapit(client)
+    k0 = add_kf(client, 0)
+    p0 = np.array([0.5, 0.2, 3.0], np.float32)
+    m = client.add_map_point(p0.copy(), client.kf_desc[k0, 0], ref_kf=k0)
+    client.add_observation(m, k0, 0)
+    server = make_store(map_id=0)
+    sm = Mapit(server)
+    sm.apply_slice(codec.decode_slice(codec.encode_slice(cm.archive())))
+
+    # correction: pre pose = identity, post pose rotated 90 deg about z,
+    # translated, with Sim3 scale 2 (as a monocular loop closure yields)
+    Rc = _rot_z(90.0)
+    tc = np.array([0.3, -0.1, 0.4], np.float32)
+    scl = 2.0
+    T_post = _pose(R=Rc, t=tc)
+    server.kf_pre_corr_pose[0] = server.kf_pose_cw[0]
+    server.kf_corrected[0] = True
+    server.kf_corr_scale[0] = scl
+    server.set_kf_pose(0, T_post, log=False)
+    server.kf_post_corr_pose[0] = T_post
+    # point correction with the same Sim3 (correct_loop math:
+    # p' = Rc^T (p_cam/s - t_se3), pre cam pose = identity)
+    server.mp_pre_corr_pos[0] = server.mp_pos[0]
+    server.mp_corrected[0] = True
+    p_post = Rc.T @ (p0 / scl - tc)
+    server.set_mp_pos(0, p_post.astype(np.float32), log=False)
+    server.mp_post_corr_pos[0] = server.mp_pos[0]
+    server.gauge_epoch = 1
+
+    # stale push: the client refines the point by d in the OLD gauge
+    d = np.array([0.06, -0.02, 0.03], np.float32)
+    client.set_mp_pos(m, p0 + d)
+    # ... and the keyframe by a small translation
+    client.set_kf_pose(k0, _pose(t=(0.01, 0.02, 0)))
+    sm.apply_slice(codec.decode_slice(codec.encode_slice(cm.archive())))
+
+    # expected point: post + Rc^T Rp d / s  (Rp = identity here)
+    np.testing.assert_allclose(
+        server.mp_pos[0], p_post + (Rc.T @ d) / scl, atol=1e-5)
+    # expected pose: client delta (vs pre) conjugated onto post with the
+    # translation rescaled
+    delta = _pose(t=(0.01 / scl, 0.02 / scl, 0))
+    np.testing.assert_allclose(
+        server.kf_pose_cw[0], (delta @ T_post).astype(np.float32), atol=1e-5)
+
+
+def test_new_elements_only_push_classified_stale_by_epoch():
+    """The deep-queue case: a backlogged stale push carrying ONLY new
+    elements has no SetPose records to vote with — the gauge epoch on
+    the slice classifies it stale anyway and its geometry is
+    re-expressed (regression: 0 stale vs 0 fresh votes => 'fresh',
+    old-gauge geometry inserted verbatim and the guard wiped)."""
+    client = make_store(map_id=0)
+    cm = Mapit(client)
+    k0 = add_kf(client, 0)
+    server = make_store(map_id=0)
+    sm = Mapit(server)
+    sm.apply_slice(codec.decode_slice(codec.encode_slice(cm.archive())))
+    shift = np.array([0, 0, 1.0], np.float32)
+    server.kf_pre_corr_pose[0] = server.kf_pose_cw[0]
+    server.kf_corrected[0] = True
+    T = server.kf_pose_cw[0].copy()
+    T[:3, 3] += shift
+    server.set_kf_pose(0, T, log=False)
+    server.kf_post_corr_pose[0] = T
+    server.gauge_epoch = 1
+
+    # push with ONLY a new keyframe (child of the corrected one) + a new
+    # point, all in the old gauge — zero update records
+    cm.log = []  # drop any stray refinement records: new elements only
+    k1 = add_kf(client, 1)
+    client.set_kf_pose(k1, _pose(t=(1.0, 0, 0)), log=False)
+    client.kf_parent[k1] = k0
+    m = client.add_map_point(np.array([0.5, 0, 3.0]), client.kf_desc[k1, 0],
+                             ref_kf=k0)
+    client.add_observation(m, k1, 0)
+    sl = codec.decode_slice(codec.encode_slice(cm.archive()))
+    assert not sl.updates or all(
+        u.func != "SetPose" for u in sl.updates)  # really vote-free
+    sm.apply_slice(sl)
+
+    k1s = server.kf_by_gid[int(client.kf_gid[k1])]
+    np.testing.assert_allclose(
+        server.kf_pose_cw[k1s][:3, 3], [1.0, 0, 1.0], atol=1e-5)
+    ms = server.mp_by_gid[int(client.mp_gid[m])]
+    np.testing.assert_allclose(server.mp_pos[ms], [0.5, 0, 2.0], atol=1e-4)
+    assert server.kf_corrected[0]  # guard NOT retired by a stale slice
+
+
+def test_legacy_no_vote_slice_assumed_stale():
+    """Epoch-less slices (reference peer on the boost wire) with the
+    guard armed and no SetPose votes default to STALE, not fresh."""
+    client = make_store(map_id=0)
+    cm = Mapit(client)
+    k0 = add_kf(client, 0)
+    server = make_store(map_id=0)
+    sm = Mapit(server)
+    sm.apply_slice(codec.decode_slice(codec.encode_slice(cm.archive())))
+    shift = np.array([0, 0, 1.0], np.float32)
+    server.kf_pre_corr_pose[0] = server.kf_pose_cw[0]
+    server.kf_corrected[0] = True
+    T = server.kf_pose_cw[0].copy()
+    T[:3, 3] += shift
+    server.set_kf_pose(0, T, log=False)
+    server.kf_post_corr_pose[0] = T
+    server.gauge_epoch = 1
+
+    k1 = add_kf(client, 1)
+    client.set_kf_pose(k1, _pose(t=(1.0, 0, 0)), log=False)
+    client.kf_parent[k1] = k0
+    sl = codec.decode_slice(codec.encode_slice(cm.archive()))
+    sl.epoch = None  # what a reference peer's boost-text slice carries
+    sm.apply_slice(sl)
+    k1s = server.kf_by_gid[int(client.kf_gid[k1])]
+    np.testing.assert_allclose(
+        server.kf_pose_cw[k1s][:3, 3], [1.0, 0, 1.0], atol=1e-5)
+    assert server.kf_corrected[0]
