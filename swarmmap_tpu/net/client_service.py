@@ -7,6 +7,8 @@ data channel), ReportState / PushMap senders, and the OnRequest handler
 """
 from __future__ import annotations
 
+import threading
+
 from ..sync import codec
 from ..sync.codec import Request
 from ..utils.logging import get_logger
@@ -22,6 +24,7 @@ class ClientService:
         self.host = host
         self.client: WsClient | None = None
         self.server_id = -1
+        self._pull_done = threading.Event()
 
     # ------------------------------------------------------------------
     def register(self, dispatch_port: int) -> tuple[int, int]:
@@ -57,12 +60,28 @@ class ClientService:
         ))
         return len(payload)
 
+    def pull_map(self, timeout: float | None = None) -> bool:
+        """Ask the server for its latest keyframes (Mapit::Pull — an
+        empty stub in the reference, src/Mapit.cc:164; here the verb is
+        live).  The ReplyPull slice applies like a distribute.  With a
+        timeout, blocks until the reply landed."""
+        self._pull_done.clear()
+        self.client.send(Request(
+            src=self.agent.agent_id, dst=0, path="PullMap", body=b"",
+        ))
+        if timeout is None:
+            return True
+        return self._pull_done.wait(timeout)
+
     # ------------------------------------------------------------------
     def _on_request(self, req: Request):
         if req.path == "DistributeMap":
             self.agent.receive_distribute(req.body)
         elif req.path == "PushMap":
             self.agent.receive_distribute(req.body)
+        elif req.path == "ReplyPull":
+            self.agent.receive_distribute(req.body)
+            self._pull_done.set()
         else:
             _log.warning("unhandled request path %s", req.path)
 

@@ -43,6 +43,13 @@ class ServerService:
             self.scheduler.report_state(self.mediator_id, codec.decode_state(req.body))
         elif req.path == "PushMap":
             self.scheduler.enqueue_request(self.mediator_id, req.body)
+        elif req.path == "PullMap":
+            # client asks for the optimized map tail (Mapit::Pull /
+            # ReplyPull, src/Mapit.cc:164-196)
+            payload = self.scheduler.reply_pull(self.mediator_id)
+            if payload is not None:
+                reply(Request(src=0, dst=self.mediator_id,
+                              path="ReplyPull", body=payload))
         else:
             _log.warning("unhandled path %s", req.path)
 

@@ -96,6 +96,15 @@ class MediatorScheduler:
         if med is not None:
             med.set_state(state)
 
+    def reply_pull(self, agent_id: int) -> bytes | None:
+        """Client pull: encode the latest-5-keyframe slice of the server
+        replica (reference: Mapit::ReplyPull, src/Mapit.cc:164-196)."""
+        med = self.mediators.get(agent_id)
+        if med is None:
+            _log.warning("pull from unknown agent %d", agent_id)
+            return None
+        return codec.encode_slice(med.mapit.reply_pull())
+
     # ------------------------------------------------------------------ process
     def process_request(self, agent_id: int, sl: MapSlice):
         """One full server pass (reference: ProcessRequest)."""

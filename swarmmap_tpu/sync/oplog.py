@@ -223,6 +223,32 @@ class Mapit:
         )
 
     # ------------------------------------------------------------------ pull/apply
+    def reply_pull(self, n_last: int = 5) -> MapSlice:
+        """Server side of the pull verb: the latest `n_last` live
+        keyframes plus every live map point they observe (reference:
+        Mapit::ReplyPull, src/Mapit.cc:164-196 — Pull itself is an empty
+        stub there; the slice applies like a distribute).  Read-only: no
+        serialize-flag or log mutation, so pulls are idempotent."""
+        with self.store.lock:
+            st = self.store
+            alive = st.alive_kf_slots()
+            last = alive[-n_last:][::-1]  # latest first (reference order)
+            kfs = [self._kf_payload(int(k)) for k in last]
+            seen: set[int] = set()
+            mps = []
+            for k in last:
+                row = st.kf_kp_mp[int(k)]
+                for m in row[row != NO_MP]:
+                    m = int(m)
+                    if m not in seen and st.mp_alive[m]:
+                        seen.add(m)
+                        mps.append(self._mp_payload(m))
+            twl = None
+            if st.Twl_s != 1.0 or not np.allclose(st.Twl_R, np.eye(3)):
+                twl = (st.Twl_R.copy(), st.Twl_t.copy(), float(st.Twl_s))
+            return MapSlice(map_id=st.map_id, kfs=kfs, mps=mps, updates=[],
+                            twl=twl, epoch=st.gauge_epoch)
+
     def apply_slice(self, sl: MapSlice, vocab=None,
                     on_map_event=None) -> None:
         """Insert new elements + apply the update log

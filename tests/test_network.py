@@ -142,6 +142,42 @@ def test_dispatch_and_push_flow(wire_mode):
         time.sleep(0.05)
     assert agent.system.store.kf_pose_cw[0][2, 3] == 9.0
 
+    # pull: the server holds a keyframe + point the client lacks (as a
+    # server-side virtual/rescue keyframe would be); the client asks via
+    # PullMap, the server answers ReplyPull with the latest-5-KF slice,
+    # and the client applies it (reference: Mapit::Pull/ReplyPull,
+    # src/Mapit.cc:164-196)
+    from swarmmap_tpu import MAP_BASE
+
+    sst = med.store
+    k2 = sst.add_keyframe(
+        pose_cw=new_pose,
+        K=settings.camera.K,
+        kp_uv=rng.rand(sst.n_kp, 2).astype(np.float32) * 100,
+        kp_octave=np.zeros(sst.n_kp, np.int32),
+        kp_angle=np.zeros(sst.n_kp, np.float32),
+        kp_response=np.ones(sst.n_kp, np.float32),
+        kp_valid=np.ones(sst.n_kp, bool),
+        desc=rng.randint(0, 2**32, (sst.n_kp, 8), dtype=np.uint32),
+        gid=5 * MAP_BASE + 777,  # distinct from the client-pushed KF
+    )
+    m2 = sst.add_map_point(np.array([1, 0, 3.0]), sst.kf_desc[k2, 0],
+                           ref_kf=k2, gid=5 * MAP_BASE + 778)
+    sst.add_observation(m2, k2, 1)
+    pulled_gid = int(sst.kf_gid[k2])
+    assert pulled_gid not in agent.system.store.kf_by_gid
+    assert svc.pull_map(timeout=10.0), "ReplyPull never arrived"
+    cst = agent.system.store
+    assert pulled_gid in cst.kf_by_gid
+    kc = cst.kf_by_gid[pulled_gid]
+    np.testing.assert_allclose(cst.kf_pose_cw[kc], new_pose, atol=1e-6)
+    mc = cst.mp_by_gid[int(sst.mp_gid[m2])]
+    np.testing.assert_allclose(cst.mp_pos[mc], [1, 0, 3.0], atol=1e-6)
+    # pulls are idempotent reads: a second pull changes nothing
+    n_kf, n_mp = cst.n_kf, cst.n_mp
+    assert svc.pull_map(timeout=10.0)
+    assert (cst.n_kf, cst.n_mp) == (n_kf, n_mp)
+
     svc.close()
     dispatch.stop()
     for s in services.values():
