@@ -124,14 +124,86 @@ def bench_swarm_step(budget_s: float = 420.0,
     }
 
 
+def probe_device(attempts: int = 3, probe_timeout_s: float = 300.0,
+                 backoff_s: float = 30.0) -> bool:
+    """Check the device tunnel answers, WITHOUT touching it from this
+    process: a wedged relay blocks the first device call on a futex
+    forever, so the probe runs in killable subprocesses.  Retries with
+    backoff — the relay has been observed to come back after minutes."""
+    import subprocess
+    import sys
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.numpy.zeros(2).block_until_ready()"],
+                timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# device probe {i + 1}/{attempts} failed; retrying",
+              flush=True)
+        if i + 1 < attempts:
+            time.sleep(backoff_s)
+    return False
+
+
+def host_fallback_record() -> dict:
+    """The tunnel is permanently down this run: measure the same fused
+    program on the CPU backend in a subprocess so the round still ships
+    stage evidence instead of a bare null (the TPU metric stays null —
+    a CPU number must never masquerade as one)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import time, json, jax.numpy as jnp\n"
+        "from swarmmap_tpu import pipeline\n"
+        "inp = pipeline.realistic_track_inputs(hw=(240,320), n_map_points=512,"
+        " n_features=256, n_levels=3)\n"
+        "f = lambda x: pipeline.tracking_step(x, n_features=256, n_levels=3,"
+        " hw=(240,320))\n"
+        "out = f(inp); jax.block_until_ready(out.Tcw)\n"
+        "t0 = time.perf_counter()\n"
+        "for _ in range(10): out = f(inp._replace(Tcw_guess=out.Tcw))\n"
+        "jax.block_until_ready(out.Tcw)\n"
+        "print(json.dumps({'cpu_fused_step_ms':"
+        " round((time.perf_counter()-t0)*100, 2),"
+        " 'cpu_inliers': int(out.n_inliers)}))\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=900,
+                           capture_output=True, text=True)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        host = json.loads(lines[-1]) if lines else {"error": r.stderr[-200:]}
+    except Exception as e:  # noqa: BLE001
+        host = {"error": repr(e)[:200]}
+    host["backend"] = "cpu-fallback"
+    return host
+
+
 def main() -> None:
     import os
+
+    if not probe_device():
+        print(json.dumps({
+            "metric": "tracking_fps_per_agent_3agent_euroc_geom",
+            "value": None, "unit": "frames/s/agent",
+            "vs_baseline": None,
+            "error": "device tunnel down after 3 probes with backoff",
+            "host_fallback": host_fallback_record(),
+        }), flush=True)
+        raise SystemExit(1)
 
     import jax
 
     # a dead/wedged device tunnel blocks the first dispatch forever;
     # emit a diagnosable JSON line and exit instead of hanging the
-    # driver (observed: relay process death mid-round)
+    # driver (observed: relay process death mid-round).  The probe above
+    # said the tunnel is up; this guards a mid-run relay death.
     import threading
 
     alive = threading.Event()
@@ -142,7 +214,8 @@ def main() -> None:
                 "metric": "tracking_fps_per_agent_3agent_euroc_geom",
                 "value": None, "unit": "frames/s/agent",
                 "vs_baseline": None,
-                "error": "device init wedged >240s (tunnel down?)",
+                "error": "device init wedged >240s after a good probe",
+                "host_fallback": host_fallback_record(),
             }), flush=True)
             os._exit(1)
 
@@ -205,6 +278,36 @@ def main() -> None:
         "unit": "frames/s/agent",
         "vs_baseline": round(best / BASELINE_FPS, 3),
     }
+
+    # distorted-camera variant: same compiled program (dist is a traced
+    # input), EuRoC cam0 radial-tangential coefficients — proves the
+    # flagship fused path serves the actual north-star calibration
+    # (round-3 gap: fused_eligible demanded dist==0)
+    EUROC_DIST = (-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0)
+    single_d = [
+        pipeline.realistic_track_inputs(
+            hw=HW, n_map_points=N_MAP_POINTS, seed=i, dist=EUROC_DIST)
+        for i in range(N_AGENTS)
+    ]
+    batched_d = pipeline.TrackInputs(
+        *(jnp.stack([getattr(s, f) for s in single_d])
+          for f in single_d[0]._fields)
+    )
+    out = step(batched_d)
+    jax.block_until_ready(out[0].Tcw)
+    inliers_d = [int(x) for x in out[0].n_inliers]
+    best_d = 0.0
+    for _ in range(2):
+        n_iter = 30
+        t0 = time.perf_counter()
+        cur = batched_d
+        for _ in range(n_iter):
+            out = step(cur)
+            cur = cur._replace(Tcw_guess=out[0].Tcw)
+        jax.block_until_ready(out[0].Tcw)
+        best_d = max(best_d, 1.0 / ((time.perf_counter() - t0) / n_iter))
+    record["tracking_fps_per_agent_distorted"] = round(best_d, 2)
+    record["distorted_inliers"] = inliers_d
     # full-system measurement (Swarm.step); never fails the bench
     try:
         record.update(bench_swarm_step(device_step_ms=1e3 / best))

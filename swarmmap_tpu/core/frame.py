@@ -51,11 +51,20 @@ class Frame:
             self.mp = np.full(n, -1, np.int32)
 
     def ensure_features(self):
-        """Materialize the feature arrays from the deferred fetch."""
+        """Materialize the feature arrays from the deferred fetch.
+        Providers yield 6-tuples (xy, ...) for distortion-free cameras or
+        7-tuples (xy_raw, xy_undistorted, ...) when the fused program
+        undistorted on device."""
         if self.lazy_feats is None:
             return
-        xy, octv, ang, resp, desc, valid = self.lazy_feats()
-        self.xy = self.xy_raw = np.asarray(xy)
+        vals = self.lazy_feats()
+        if len(vals) == 7:
+            xy_raw, xy, octv, ang, resp, desc, valid = vals
+            self.xy_raw = np.asarray(xy_raw)
+            self.xy = np.asarray(xy)
+        else:
+            xy, octv, ang, resp, desc, valid = vals
+            self.xy = self.xy_raw = np.asarray(xy)
         self.octave = np.asarray(octv)
         self.angle = np.asarray(ang)
         self.response = np.asarray(resp)

@@ -130,6 +130,7 @@ class Tracking:
         self.ref_kf: int = -1
         self.last_kf_frame_id: int = -1
         self.matches_inliers = 0
+        self.fused_frames = 0     # frames fully tracked by the fused program
         self.lost_count = 0
         self.grace = 0  # consecutive RECENTLY_LOST frames
         self._key = jax.random.PRNGKey(rng_seed)
@@ -222,7 +223,10 @@ class Tracking:
 
     def fused_eligible(self, image_ok: bool = True) -> bool:
         """True when the next frame can run as the single fused device
-        program (steady state, motion model available, undistorted)."""
+        program (steady state, motion model available).  Calibrated
+        cameras qualify: undistortion runs inside the fused program
+        (pipeline.tracking_step), so EuRoC's k1=-0.283 no longer forces
+        every frame onto the staged multi-dispatch path."""
         return (
             self.p.use_fused_step
             and image_ok
@@ -230,7 +234,6 @@ class Tracking:
             and self.velocity is not None
             and self.last_frame is not None
             and self.last_frame.pose_cw is not None
-            and not np.any(self.settings.camera.dist[:4] != 0)
         )
 
     def prepare_fused(self, image: np.ndarray):
@@ -271,6 +274,7 @@ class Tracking:
             image=image,
             Tcw_guess=Tcw_pred,
             K=self.settings.camera.K.astype(np.float32),
+            dist=self.settings.camera.dist.astype(np.float32),
             mp_pos=pos, mp_desc=desc, mp_max_dist=maxd, mp_valid=ok,
         )
         return inp, slots
@@ -323,6 +327,7 @@ class Tracking:
             return frame
         frame.pose_cw = np.asarray(Tcw_np)
         self.matches_inliers = n_inl
+        self.fused_frames += 1
         tracked = frame.mp[frame.mp != NO_MP]
         st.increase_visible(tracked, log=False)
         st.increase_found(tracked, log=False)
@@ -369,7 +374,7 @@ class Tracking:
         Tcw_np, n_inl, match_mp = fetch(out.Tcw, out.n_inliers, out.match_mp)
 
         def provider():
-            return fetch(feats.xy, feats.octave, feats.angle,
+            return fetch(feats.xy, out.xy_ud, feats.octave, feats.angle,
                          feats.response, feats.desc, feats.valid)
 
         return self.commit_fused(image, timestamp, slots, Tcw_np, n_inl,

@@ -255,8 +255,12 @@ def sim3_guided_match(
 def project_to_frame(
     Tcw: jnp.ndarray, K: jnp.ndarray, pts_w: jnp.ndarray,
     hw: tuple[int, int],
+    bounds: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """World points -> pixel coords + depth + visibility gate."""
+    """World points -> pixel coords + depth + visibility gate.
+    `bounds` = (min_x, max_x, min_y, max_y) overrides the raw image
+    rectangle — undistorted keypoint coords legally exit it (reference:
+    Frame::ComputeImageBounds + Frame::isInFrustum)."""
     pc = (Tcw[:3, :3] @ pts_w.T).T + Tcw[:3, 3]
     z = pc[:, 2]
     uv = jnp.stack(
@@ -267,9 +271,13 @@ def project_to_frame(
         -1,
     )
     h, w = hw
+    if bounds is None:
+        x0, x1, y0, y1 = 0.0, float(w), 0.0, float(h)
+    else:
+        x0, x1, y0, y1 = bounds
     visible = (
         (z > 0.05)
-        & (uv[:, 0] >= 0) & (uv[:, 0] < w)
-        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+        & (uv[:, 0] >= x0) & (uv[:, 0] < x1)
+        & (uv[:, 1] >= y0) & (uv[:, 1] < y1)
     )
     return uv, z, visible

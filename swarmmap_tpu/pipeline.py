@@ -26,6 +26,7 @@ class TrackInputs(NamedTuple):
     image: jnp.ndarray        # [H,W] uint8
     Tcw_guess: jnp.ndarray    # [4,4]
     K: jnp.ndarray            # [3,3]
+    dist: jnp.ndarray         # [5] radial-tangential (k1,k2,p1,p2,k3)
     mp_pos: jnp.ndarray       # [M,3] local-map points
     mp_desc: jnp.ndarray      # [M,8] u32
     mp_max_dist: jnp.ndarray  # [M]
@@ -37,6 +38,7 @@ class TrackOutputs(NamedTuple):
     n_inliers: jnp.ndarray    # scalar i32
     match_mp: jnp.ndarray     # [N_kp] i32 map-point index per keypoint (-1 none)
     features: extractor.FrameFeatures
+    xy_ud: jnp.ndarray        # [N_kp,2] undistorted keypoint coords
 
 
 @functools.partial(
@@ -55,14 +57,35 @@ def tracking_step(
     feats = extractor.extract_orb(
         inp.image, n_features=n_features, n_levels=n_levels, scale=scale
     )
+    # undistort keypoints INSIDE the fused program (reference:
+    # Frame::UndistortKeyPoints, Frame.cc) — matching and pose
+    # optimization operate in the pinhole frame, so calibrated cameras
+    # (EuRoC k1=-0.283) take this path instead of the staged fallback.
+    # The dist==0 select keeps the pinhole case BITWISE-identical to raw
+    # detections (the (xy-c)/f*f+c round trip otherwise injects ~1e-3 px
+    # of f32 noise into every coordinate); XLA fuses it all either way.
+    no_dist = jnp.all(inp.dist == 0)
+    xy_ud = jnp.where(
+        no_dist, feats.xy, extractor.undistort_points(feats.xy, inp.K, inp.dist)
+    )
+    # visibility bounds from the undistorted image corners (reference:
+    # Frame::ComputeImageBounds) — undistorted coords can legally exit
+    # the raw [0,w)x[0,h) rectangle
+    h_, w_ = hw
+    corners = jnp.asarray(
+        [[0.0, 0.0], [w_, 0.0], [0.0, h_], [w_, h_]], jnp.float32)
+    cu = jnp.where(
+        no_dist, corners, extractor.undistort_points(corners, inp.K, inp.dist)
+    )
+    bounds = (cu[:, 0].min(), cu[:, 0].max(), cu[:, 1].min(), cu[:, 1].max())
     uv, depth, visible = matching.project_to_frame(
-        inp.Tcw_guess, inp.K, inp.mp_pos, hw
+        inp.Tcw_guess, inp.K, inp.mp_pos, hw, bounds=bounds
     )
     visible = visible & inp.mp_valid
     pred_oct = matching.predicted_octave(depth, inp.mp_max_dist, scale, n_levels)
     radius = window_th * jnp.asarray(scale) ** pred_oct.astype(jnp.float32)
     mask = matching.window_mask(
-        uv, feats.xy, radius, visible, feats.valid,
+        uv, xy_ud, radius, visible, feats.valid,
         t_octave=feats.octave, oct_lo=pred_oct - 1, oct_hi=pred_oct + 1,
     )
     m = matching.masked_match(
@@ -96,12 +119,12 @@ def tracking_step(
     if (jax.default_backend() == "tpu"
             and not os.environ.get("SWARMMAP_NO_PALLAS_POSE")):
         res = pallas_pose.pose_optimize_pallas(
-            inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], feats.xy,
+            inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], xy_ud,
             1.0 / sig2, valid, rounds=2, iters=8,
         )
     else:
         res = pose_opt.pose_optimize(
-            inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], feats.xy,
+            inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], xy_ud,
             1.0 / sig2, valid, rounds=2, iters=8,
         )
     return TrackOutputs(
@@ -109,6 +132,7 @@ def tracking_step(
         n_inliers=res.inliers.sum().astype(jnp.int32),
         match_mp=jnp.where(res.inliers, match_mp, -1),
         features=feats,
+        xy_ud=xy_ud,
     )
 
 
@@ -214,7 +238,7 @@ def make_multi_agent_step(
     )
     spec_out = TrackOutputs(
         Tcw=P("agents"), n_inliers=P("agents"), match_mp=P("agents"),
-        features=feat_spec,
+        features=feat_spec, xy_ud=P("agents"),
     )
     fn = shard_map(
         sharded, mesh=mesh,
@@ -228,6 +252,7 @@ def make_multi_agent_step(
 def realistic_track_inputs(
     hw: tuple[int, int] = (480, 752), n_map_points: int = 2048, seed: int = 0,
     n_features: int = 1000, n_levels: int = 8, scale: float = 1.2,
+    dist: tuple[float, ...] = (0.0, 0.0, 0.0, 0.0, 0.0),
 ) -> TrackInputs:
     """Steady-state inputs from a RENDERED synthetic world: the local map
     holds true landmark positions with descriptors extracted from the
@@ -244,7 +269,8 @@ def realistic_track_inputs(
     # middle three frames (full-sequence rendering is seconds per frame)
     f0, f1, f2 = 19, 20, 21
     w = datasets.make_world(
-        n_points=min(n_map_points, 1500), n_frames=40, hw=hw, seed=seed
+        n_points=min(n_map_points, 1500), n_frames=40, hw=hw, seed=seed,
+        dist=np.asarray(dist, np.float32),
     )
     prev = datasets.render_frame(w, f1)
     feats = extractor.extract_orb(
@@ -255,7 +281,8 @@ def realistic_track_inputs(
     Tcw0 = np.linalg.inv(w.poses_wc[f0]).astype(np.float32)
     Tcw_prev = np.linalg.inv(w.poses_wc[f1]).astype(np.float32)
     pc = (Tcw_prev[:3, :3] @ w.points.T).T + Tcw_prev[:3, 3]
-    uvw = (pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6)) * np.diag(w.K)[:2] + w.K[:2, 2]
+    # associate in the DISTORTED frame: detections live there
+    uvw = datasets.distort_points_np(pc, w.K, w.dist)
     infront = pc[:, 2] > 0.1
     octv = np.asarray(feats.octave)
     pos_l, desc_l, maxd_l = [], [], []
@@ -289,6 +316,7 @@ def realistic_track_inputs(
         image=jnp.asarray(datasets.render_frame(w, f2)),
         Tcw_guess=jnp.asarray(guess),
         K=jnp.asarray(w.K.astype(np.float32)),
+        dist=jnp.asarray(w.dist.astype(np.float32)),
         mp_pos=jnp.asarray(pos),
         mp_desc=jnp.asarray(dsc),
         mp_max_dist=jnp.asarray(maxd),
@@ -314,6 +342,7 @@ def example_track_inputs(
         image=jnp.asarray(img),
         Tcw_guess=jnp.eye(4, dtype=jnp.float32),
         K=jnp.asarray(K),
+        dist=jnp.zeros(5, jnp.float32),
         mp_pos=jnp.asarray(pts),
         mp_desc=jnp.asarray(rng.randint(0, 2**32, (n_map_points, 8), dtype=np.uint32)),
         mp_max_dist=jnp.full((n_map_points,), 12.0, jnp.float32),

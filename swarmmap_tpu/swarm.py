@@ -307,6 +307,8 @@ class Swarm:
                     buf[:] = np.eye(4, dtype=np.float32)
                 elif f == "K":
                     buf[:] = self.settings.camera.K.astype(np.float32)
+                elif f == "dist":
+                    buf[:] = self.settings.camera.dist.astype(np.float32)
                 for i, inp, _ in fused:
                     buf[rows[id(live[i][0])]] = getattr(inp, f)
                 stacked.append(jnp.asarray(buf))
@@ -340,7 +342,7 @@ class Swarm:
         # transfers stream while the blocking pose round trip is in
         # flight, so a keyframe frame's ensure_features() finds the
         # bytes already host-resident instead of paying its own RPC
-        feat_leaves = (feats.xy, feats.octave, feats.angle,
+        feat_leaves = (feats.xy, out.xy_ud, feats.octave, feats.angle,
                        feats.response, feats.desc, feats.valid)
         for leaf in feat_leaves:
             try:

@@ -157,6 +157,24 @@ class SyntheticWorld:
     poses_wc: np.ndarray        # [N,4,4] camera-to-world (ground truth)
     K: np.ndarray               # [3,3]
     hw: tuple[int, int]
+    # radial-tangential lens model (k1,k2,p1,p2,k3); zeros = pinhole
+    dist: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(5, np.float32))
+
+
+def distort_points_np(pc: np.ndarray, K: np.ndarray,
+                      dist: np.ndarray) -> np.ndarray:
+    """Forward radial-tangential lens model: camera-frame points ->
+    DISTORTED pixel coords (the inverse of ops.extractor.undistort_points;
+    reference model: cv::projectPoints as used by Frame.cc)."""
+    z = np.maximum(pc[:, 2], 1e-6)
+    x, y = pc[:, 0] / z, pc[:, 1] / z
+    k1, k2, p1, p2, k3 = np.asarray(dist, np.float64)[:5]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return np.stack([K[0, 0] * xd + K[0, 2], K[1, 1] * yd + K[1, 2]], -1)
 
 
 def make_world(
@@ -167,6 +185,7 @@ def make_world(
     agent: int = 0,
     motion: str = "arc",
     focal: float | None = None,
+    dist: np.ndarray | None = None,
 ) -> SyntheticWorld:
     """Landmark field + smooth trajectory.  Different `agent` values share
     the SAME world (same seed for points) but follow offset trajectories,
@@ -257,7 +276,10 @@ def make_world(
         focal = 0.72 * w if motion == "circuit" else 460.0
     K = np.array([[focal, 0, w / 2.0], [0, focal, h / 2.0], [0, 0, 1.0]])
     del arng
-    return SyntheticWorld(points=pts, textures=tex, poses_wc=poses, K=K, hw=hw)
+    world = SyntheticWorld(points=pts, textures=tex, poses_wc=poses, K=K, hw=hw)
+    if dist is not None:
+        world.dist = np.asarray(dist, np.float32)
+    return world
 
 
 def render_frame(
@@ -277,9 +299,12 @@ def render_frame(
     t_cw = -R_cw @ T_wc[:3, 3]
     pc = world.points @ R_cw.T + t_cw
     z = pc[:, 2]
-    uv = (pc[:, :2] / np.maximum(z[:, None], 1e-6)) @ np.diag(
-        [world.K[0, 0], world.K[1, 1]]
-    ) + world.K[:2, 2]
+    if np.any(world.dist != 0):
+        uv = distort_points_np(pc, world.K, world.dist)
+    else:
+        uv = (pc[:, :2] / np.maximum(z[:, None], 1e-6)) @ np.diag(
+            [world.K[0, 0], world.K[1, 1]]
+        ) + world.K[:2, 2]
     ps = world.textures.shape[1]
     r = ps // 2
     order = np.argsort(-z)  # far first so near landmarks overwrite
@@ -319,9 +344,10 @@ def synthesize_sequence(
     motion: str = "arc",
     n_points: int = 600,
     focal: float | None = None,
+    dist: np.ndarray | None = None,
 ) -> ImageSequence:
     world = make_world(n_points=n_points, n_frames=n_frames, hw=hw, seed=seed,
-                       agent=agent, motion=motion, focal=focal)
+                       agent=agent, motion=motion, focal=focal, dist=dist)
     frames = np.stack([render_frame(world, i) for i in range(n_frames)])
     seq = ImageSequence(
         paths=[], timestamps=np.arange(n_frames) / fps, frames=frames
