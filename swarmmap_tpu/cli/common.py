@@ -32,6 +32,12 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--wire", default=None, choices=["msgpack", "boost-text"],
                    help="outbound wire format (boost-text = reference-"
                         "compatible archives; decode auto-sniffs both)")
+    p.add_argument("--save-map", default="",
+                   help="write the client map checkpoint here on exit "
+                        "(reference: System::SaveMap, map-client-<id>.bin)")
+    p.add_argument("--load-map", default="",
+                   help="load a map checkpoint before tracking "
+                        "(reference: System::LoadMap)")
     return p
 
 

@@ -25,6 +25,8 @@ def main(argv=None):
     settings, seqs = load_world(args, 1)
     vocab = load_vocab(args.voc)
     sys_ = System(settings, vocab)
+    if args.load_map:
+        sys_.load_map(args.load_map)
     seq = seqs[0]
     synthetic = getattr(seq, "world", None) is not None
     if args.sensor == "rgbd" and not synthetic and seq.depth_paths is None:
@@ -59,6 +61,8 @@ def main(argv=None):
     out.mkdir(parents=True, exist_ok=True)
     sys_.save_keyframe_trajectory_tum(out / "KeyFrameTrajectory.txt")
     sys_.save_frame_trajectory_tum(out / "FrameTrajectory.txt")
+    if args.save_map:
+        sys_.save_map(args.save_map)
     _log.info("tracked %d/%d frames in %.1fs (%.1f fps) — kf=%d mp=%d",
               tracked, len(seq), wall, len(seq) / wall,
               sys_.n_keyframes(), sys_.n_map_points())

@@ -35,6 +35,8 @@ def main(argv=None):
     seq = seqs[min(args.agent, len(seqs) - 1)]
     vocab = load_vocab(args.voc)
     agent = SwarmAgent(args.agent, settings, vocab)
+    if args.load_map:
+        agent.system.load_map(args.load_map)
     svc = ClientService(agent, args.host)
     new_id, data_port = svc.register(args.port)
     svc.connect(data_port)
@@ -62,6 +64,9 @@ def main(argv=None):
     agent.system.save_keyframe_trajectory_tum(
         out / f"KeyFrameTrajectory-client-{agent.agent_id}.txt"
     )
+    if args.save_map:
+        # reference layout: map-client-<id>.bin (README.md:181-183)
+        agent.system.save_map(args.save_map)
     _log.info("agent %d done: tracked %d/%d, kf=%d mp=%d",
               agent.agent_id, agent.frames_tracked, len(seq),
               agent.system.n_keyframes(), agent.system.n_map_points())

@@ -127,3 +127,58 @@ class System:
             save_tum(path, stamps, poses)
         else:
             Path(path).write_text("")
+
+    # -- client-side map checkpoints (reference: System.cc:349,370) -----------
+    def save_map(self, path: str | Path, fmt: str = "msgpack"):
+        """Write the client map checkpoint — the reference's
+        `map-client-<id>.bin` (System::SaveMap, System.cc:349 — the whole
+        map + the keyframe database's inverted file).  fmt="boost-bin"
+        exports the reference's binary-archive layout so its tooling can
+        read maps built here; the default is the compact msgpack slice
+        (decode auto-sniffs both)."""
+        from ..sync import codec
+        from ..sync.oplog import full_archive
+
+        with self.store.lock:
+            arc = full_archive(self.store)
+            if fmt == "boost-bin":
+                from ..sync import boost_bin
+
+                inv = self.kfdb.inverted  # word id -> kf slots
+                n_words = max(inv.keys(), default=-1) + 1
+                inverted = [
+                    sorted(int(self.store.kf_gid[k]) for k in inv.get(w, ())
+                           if self.store.kf_alive[k])
+                    for w in range(n_words)
+                ]
+                data = boost_bin.encode_map_bin(arc.kfs, arc.mps,
+                                                inverted_file=inverted)
+            else:
+                data = codec.encode_slice(arc)
+        Path(path).write_bytes(data)
+        _log.info("map saved to %s (%d KFs, %d MPs)", path,
+                  len(arc.kfs), len(arc.mps))
+
+    def load_map(self, path: str | Path) -> bool:
+        """Load a saved map checkpoint into this client (reference:
+        System::LoadMap, System.cc:370 — deserialize, then rebuild the
+        keyframe database via ComputeBoW).  Returns False when the file
+        does not exist (the reference starts a fresh map then)."""
+        path = Path(path)
+        if not path.exists():
+            _log.warning("cannot open map file %s — starting fresh", path)
+            return False
+        from ..sync import codec
+        from ..sync.oplog import Mapit
+
+        sl = codec.decode_slice(path.read_bytes())
+        with self.store.lock:
+            prev_log = self.store.log_fn
+            Mapit(self.store).apply_slice(sl, vocab=self.vocab)
+            self.store.log_fn = prev_log
+            # reference: for kf in GetAllKeyFrames(): kf->ComputeBoW()
+            for k in self.store.alive_kf_slots():
+                self.kfdb.add(self.store, int(k))
+        _log.info("map loaded from %s: %d keyframes, %d points", path,
+                  self.n_keyframes(), self.n_map_points())
+        return True

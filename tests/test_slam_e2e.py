@@ -137,3 +137,85 @@ def test_recently_lost_disabled_matches_reference():
     _sys, ever_lost = _run_with_dropout(recently_lost_frames=0)
     # the dropout forced at least one hard LOST transition
     assert ever_lost
+
+
+def test_client_save_load_map_relocalizes(tmp_path):
+    """System.SaveMap/LoadMap (reference: System.cc:349,370): a client
+    saves its map, a FRESH client loads it and relocalizes against it —
+    the reference's map-reuse workflow (README.md:181-183)."""
+    from swarmmap_tpu.core.frame import build_frame
+
+    hw = (240, 320)
+    seq = datasets.synthesize_sequence(
+        n_frames=40, hw=hw, seed=0, n_points=350, motion="arc")
+    world = seq.world
+    s = small_settings(hw)
+    s.camera.fx = float(world.K[0, 0])
+    s.camera.fy = float(world.K[1, 1])
+    s.camera.cx = float(world.K[0, 2])
+    s.camera.cy = float(world.K[1, 2])
+    sys1 = System(s)
+    for i in range(len(seq)):
+        sys1.track_monocular(seq.read(i), seq.timestamps[i])
+    assert sys1.n_keyframes() >= 3
+    path = tmp_path / "map-client-0.bin"
+    sys1.save_map(path)
+    assert path.exists() and path.stat().st_size > 0
+
+    sys2 = System(s)
+    assert not sys2.load_map(tmp_path / "missing.bin")  # fresh-start path
+    assert sys2.load_map(path)
+    assert sys2.n_keyframes() == sys1.n_keyframes()
+    assert sys2.n_map_points() == sys1.n_map_points()
+    # the loaded map relocalizes a mid-sequence frame (keyframe database
+    # was rebuilt on load, reference: the ComputeBoW loop in LoadMap)
+    ok = 0
+    for i in (10, 20, 30):
+        frame = build_frame(seq.read(i), float(seq.timestamps[i]),
+                            s.camera, s.orb)
+        ok += bool(sys2.tracking._relocalize(frame))
+    assert ok >= 2, f"relocalized only {ok}/3 frames against the loaded map"
+
+
+def test_distorted_camera_takes_fused_path_same_ate():
+    """A calibrated (distorted) camera must run the FUSED tracking
+    program — undistortion happens inside pipeline.tracking_step — with
+    accuracy comparable to the distortion-free run.  Regression for the
+    round-3 gap: `fused_eligible` demanded dist==0, so EuRoC's k1=-0.283
+    pushed every frame onto the staged multi-dispatch path."""
+    hw = (240, 320)
+    dist = np.array([-0.28, 0.07, 1.9e-4, 1.8e-5, 0.0], np.float32)
+    results = {}
+    for name, d in (("pinhole", None), ("distorted", dist)):
+        seq = datasets.synthesize_sequence(
+            n_frames=40, hw=hw, seed=0, n_points=350, motion="arc", dist=d)
+        world = seq.world
+        s = small_settings(hw)
+        s.camera.fx = float(world.K[0, 0])
+        s.camera.fy = float(world.K[1, 1])
+        s.camera.cx = float(world.K[0, 2])
+        s.camera.cy = float(world.K[1, 2])
+        if d is not None:
+            s.camera.k1, s.camera.k2 = float(d[0]), float(d[1])
+            s.camera.p1, s.camera.p2 = float(d[2]), float(d[3])
+        sys = System(s)
+        poses = {}
+        for i in range(len(seq)):
+            T = sys.track_monocular(seq.read(i), seq.timestamps[i])
+            if T is not None:
+                poses[i] = T
+        idx = sorted(poses)
+        est_t = np.stack([np.linalg.inv(poses[i])[:3, 3] for i in idx])
+        gt_t = world.poses_wc[idx][:, :3, 3]
+        span = np.linalg.norm(gt_t.max(0) - gt_t.min(0))
+        results[name] = dict(
+            tracked=len(poses), fused=sys.tracking.fused_frames,
+            ate_pct=ate_rmse(est_t, gt_t) / span * 100.0,
+        )
+    r = results["distorted"]
+    assert r["tracked"] >= 0.6 * 40, r
+    # the flagship path actually ran on the calibrated camera
+    assert r["fused"] >= 0.5 * r["tracked"], r
+    assert r["ate_pct"] < 5.0, r
+    # accuracy comparable to the pinhole run (same world, same seed)
+    assert r["ate_pct"] < results["pinhole"]["ate_pct"] + 2.0, results
