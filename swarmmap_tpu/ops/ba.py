@@ -133,10 +133,17 @@ def _linearize(Tcw, K, pts, p: BAProblem, active):
     return r, Jc, Jp, w, z
 
 
-def _robust_cost(r, inv_sigma2, active):
+def _psum(x, axis_name):
+    """Cross-device reduction hook: identity single-device, psum over the
+    observation-sharded mesh axis (SURVEY.md §5: the server's fusion math
+    as device-resident arrays + ICI collectives)."""
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def _robust_cost(r, inv_sigma2, active, axis_name=None):
     en = jnp.sqrt(jnp.sum(r * r, 1) * inv_sigma2 + 1e-12)
     rho = jnp.where(en <= HUBER_DELTA, en * en, 2 * HUBER_DELTA * en - HUBER_DELTA**2)
-    return jnp.sum(rho * active)
+    return _psum(jnp.sum(rho * active), axis_name)
 
 
 def _residual_only(Tcw, K, pts, p: BAProblem):
@@ -178,8 +185,12 @@ def _inv3x3(M):
     return adj / det[..., None, None]
 
 
-def _common_blocks(r, Jc, Jp, w, p: BAProblem, lam, n_cams, n_pts):
-    """Per-iteration block structure shared by both backends."""
+def _common_blocks(r, Jc, Jp, w, p: BAProblem, lam, n_cams, n_pts,
+                   axis_name=None):
+    """Per-iteration block structure shared by both backends.  With an
+    axis_name, the observation axis is device-sharded: each device
+    segment-sums its local observations and ONE pytree psum completes
+    the [C,6]/[P,3]/[C,6,6]/[P,3,3] reductions over ICI."""
     # gradient
     bc = -jax.ops.segment_sum(
         jnp.einsum("oik,o,oi->ok", Jc, w, r), p.obs_cam, n_cams
@@ -194,6 +205,7 @@ def _common_blocks(r, Jc, Jp, w, p: BAProblem, lam, n_cams, n_pts):
     Hpp = jax.ops.segment_sum(
         jnp.einsum("oik,o,oil->okl", Jp, w, Jp), p.obs_pt, n_pts
     )  # [P,3,3]
+    bc, bp, Hcc, Hpp = _psum((bc, bp, Hcc, Hpp), axis_name)
     # LM damping: H + lam*diag(H), multiplicative for scale invariance
     eye6 = jnp.eye(6, dtype=Hcc.dtype)
     eye3 = jnp.eye(3, dtype=Hcc.dtype)
@@ -229,19 +241,21 @@ def _dense_schur_solve(r, Jc, Jp, w, p: BAProblem, lam, n_cams, n_pts):
 
 
 def _cg_schur_solve(
-    r, Jc, Jp, w, p: BAProblem, lam, n_cams, n_pts, cg_iters: int
+    r, Jc, Jp, w, p: BAProblem, lam, n_cams, n_pts, cg_iters: int,
+    axis_name=None,
 ):
-    bc, bp, dHcc, Hpp_inv = _common_blocks(r, Jc, Jp, w, p, lam, n_cams, n_pts)
+    bc, bp, dHcc, Hpp_inv = _common_blocks(
+        r, Jc, Jp, w, p, lam, n_cams, n_pts, axis_name)
 
     def Wt_v(v):  # [C,6] -> [P,3] :  W^T v
         t = jnp.einsum("oik,ok->oi", Jc, v[p.obs_cam])
         contr = jnp.einsum("oik,o,oi->ok", Jp, w, t)
-        return jax.ops.segment_sum(contr, p.obs_pt, n_pts)
+        return _psum(jax.ops.segment_sum(contr, p.obs_pt, n_pts), axis_name)
 
     def W_y(y):  # [P,3] -> [C,6] :  W y
         t = jnp.einsum("oik,ok->oi", Jp, y[p.obs_pt])
         contr = jnp.einsum("oik,o,oi->ok", Jc, w, t)
-        return jax.ops.segment_sum(contr, p.obs_cam, n_cams)
+        return _psum(jax.ops.segment_sum(contr, p.obs_cam, n_cams), axis_name)
 
     def S_mv(v):
         hv = jnp.einsum("cij,cj->ci", dHcc, v)
@@ -283,25 +297,27 @@ def _6x6_inv(H):
     return jnp.linalg.inv(H)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("iters_a", "iters_b", "mode", "cg_iters", "chi2_th")
-)
-def bundle_adjust(
+def _bundle_adjust_impl(
     p: BAProblem,
-    iters_a: int = 5,
-    iters_b: int = 10,
-    chi2_th: float = CHI2_MONO,
-    mode: str = "dense",
-    cg_iters: int = 32,
+    iters_a: int,
+    iters_b: int,
+    chi2_th: float,
+    mode: str,
+    cg_iters: int,
+    axis_name: str | None = None,
 ) -> BAResult:
     """Two-phase BA mirroring the reference schedule: iters_a LM steps,
-    chi-square outlier pruning, iters_b more steps, final classification."""
+    chi-square outlier pruning, iters_b more steps, final classification.
+    With axis_name set, the obs_* arrays are the device-local shard and
+    camera/point state is replicated — psums complete every reduction, so
+    all devices take identical LM steps."""
     n_cams = p.Tcw.shape[0]
     n_pts = p.pts.shape[0]
     solver = (
         functools.partial(_dense_schur_solve)
         if mode == "dense"
-        else functools.partial(_cg_schur_solve, cg_iters=cg_iters)
+        else functools.partial(_cg_schur_solve, cg_iters=cg_iters,
+                               axis_name=axis_name)
     )
 
     def lm_phase(Tcw, pts, active, iters):
@@ -315,8 +331,8 @@ def bundle_adjust(
             Tcw_new = lie.se3_exp(dxc) @ Tcw
             pts_new = pts + dxp
             r_new, _ = _residual_only(Tcw_new, p.K, pts_new, p)
-            c_old = _robust_cost(r, p.obs_inv_sigma2, active)
-            c_new = _robust_cost(r_new, p.obs_inv_sigma2, active)
+            c_old = _robust_cost(r, p.obs_inv_sigma2, active, axis_name)
+            c_new = _robust_cost(r_new, p.obs_inv_sigma2, active, axis_name)
             ok = c_new < c_old
             Tcw = jnp.where(ok, Tcw_new, Tcw)
             pts = jnp.where(ok, pts_new, pts)
@@ -338,3 +354,71 @@ def bundle_adjust(
     chi2 = jnp.sum(r * r, 1) * p.obs_inv_sigma2
     inlier = p.obs_valid & (chi2 <= chi2_th) & (z > 0)
     return BAResult(Tcw=Tcw, pts=pts, obs_chi2=chi2, obs_inlier=inlier)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters_a", "iters_b", "mode", "cg_iters", "chi2_th")
+)
+def bundle_adjust(
+    p: BAProblem,
+    iters_a: int = 5,
+    iters_b: int = 10,
+    chi2_th: float = CHI2_MONO,
+    mode: str = "dense",
+    cg_iters: int = 32,
+) -> BAResult:
+    return _bundle_adjust_impl(p, iters_a, iters_b, chi2_th, mode, cg_iters)
+
+
+def bundle_adjust_sharded(
+    p: BAProblem,
+    mesh,
+    iters_a: int = 5,
+    iters_b: int = 10,
+    chi2_th: float = CHI2_MONO,
+    cg_iters: int = 32,
+) -> BAResult:
+    """Observation-sharded global BA over a device mesh (SURVEY.md §5:
+    the server's joint optimization as device-resident arrays sharded
+    across TPU cores with ICI collectives).
+
+    Sharding layout: obs_* split along the mesh's first axis (the COO
+    table is the big axis — 100k+ observations at campaign scale);
+    camera/point state replicates.  Each LM iteration's segment-sums
+    reduce locally then psum (one pytree collective for the blocks, two
+    per CG iteration for the Schur matvecs).  Identical math to
+    bundle_adjust(mode="cg"): every device sees the same replicated
+    state, so the fori_loop control flow stays in lockstep.
+
+    The obs axis must divide the device count — build_padded_problem's
+    power-of-two buckets guarantee that for power-of-two meshes."""
+    n_dev = mesh.devices.size
+    if p.obs_cam.shape[0] % n_dev:
+        raise ValueError(
+            f"obs axis {p.obs_cam.shape[0]} must divide mesh size {n_dev}")
+    return _sharded_ba_fn(mesh, iters_a, iters_b, chi2_th, cg_iters)(p)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_ba_fn(mesh, iters_a, iters_b, chi2_th, cg_iters):
+    """Cached shard_map+jit construction — rebuilding the wrapper per
+    call would defeat the jit cache and recompile every GBA pass."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    rep, sh = P(), P(axis)
+    in_specs = BAProblem(
+        Tcw=rep, K=rep, cam_fixed=rep, cam_valid=rep, pts=rep, pt_valid=rep,
+        obs_cam=sh, obs_pt=sh, obs_uv=sh, obs_inv_sigma2=sh, obs_valid=sh,
+    )
+    out_specs = BAResult(Tcw=rep, pts=rep, obs_chi2=sh, obs_inlier=sh)
+    fn = shard_map(
+        functools.partial(
+            _bundle_adjust_impl, iters_a=iters_a, iters_b=iters_b,
+            chi2_th=chi2_th, mode="cg", cg_iters=cg_iters, axis_name=axis,
+        ),
+        mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -21,6 +21,16 @@ def agent_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), axis_names=("agents",))
 
 
+def obs_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over the 'obs' axis for observation-sharded server BA
+    (ops.ba.bundle_adjust_sharded).  Uses the largest power-of-two device
+    count so the power-of-two-padded observation bucket always divides."""
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else min(n_devices, len(devs))
+    n = 1 << (n.bit_length() - 1)  # largest power of two <= n
+    return Mesh(np.array(devs[:n]), axis_names=("obs",))
+
+
 def shard_agents(mesh: Mesh, tree):
     """Place a batched-over-agents pytree onto the mesh (leading axis
     sharded across devices)."""

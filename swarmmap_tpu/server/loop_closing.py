@@ -47,6 +47,9 @@ class LoopClosing:
         self.last_loop_kf = -1
         self.n_loops_closed = 0
         self.n_fused = 0  # total SearchAndFuse fusions across loops
+        # device mesh for observation-sharded GBA (SURVEY.md §5); set by
+        # the swarm/server when multiple devices are available
+        self.mesh = None
 
     def _split_key(self):
         self._key, k = jax.random.split(self._key)
@@ -506,8 +509,16 @@ class LoopClosing:
                 return
             step = min(chunk, iters - done)
             a = (step + 1) // 2 if first else 0  # prune phase once, up front
-            res = ba_ops.bundle_adjust(prob, iters_a=a, iters_b=step - a,
-                                       mode="cg", cg_iters=32)
+            # observation-sharded over the device mesh when one is set
+            # and the problem is big enough to amortize the collectives
+            if (self.mesh is not None and self.mesh.devices.size > 1
+                    and prob.obs_cam.shape[0] >= 4096
+                    and prob.obs_cam.shape[0] % self.mesh.devices.size == 0):
+                res = ba_ops.bundle_adjust_sharded(
+                    prob, self.mesh, iters_a=a, iters_b=step - a, cg_iters=32)
+            else:
+                res = ba_ops.bundle_adjust(prob, iters_a=a, iters_b=step - a,
+                                           mode="cg", cg_iters=32)
             prob = prob._replace(Tcw=res.Tcw, pts=res.pts)
             done += step
             first = False

@@ -303,6 +303,168 @@ class MapManager:
         return m
 
     # ------------------------------------------------------------------
+    def group_global_ba(self, gid: int, iters: int = 10,
+                        mesh=None, chi2_cap: float = 25.0,
+                        scale_factor: float = 1.2) -> bool:
+        """JOINT bundle adjustment over every map in a merged group, in
+        the shared world gauge (SURVEY.md §5: the server's joint BA over
+        the device mesh; reference analogue: per-map GBA after MergeMap,
+        MediatorScheduler.cc:122 — the rebuild goes further and couples
+        the maps through their cross-map duplicate observations).
+
+        Formulation: each keyframe becomes an effective world-frame SE3.
+        With Twl = (s, R_wl, t_wl) local->world, the world->camera map is
+        the Sim3 p_cam = (1/s)(R_g p_w + t_g), R_g = R_cw R_wl^T,
+        t_g = s t_cw - R_g t_wl; projection is invariant to the uniform
+        1/s, so BA optimizes (R_g, t_g) as plain SE3 + world points.
+        Points enter once, under their OWNER map; observations of
+        foreign duplicate copies retarget to the owner instance — that
+        cross-map coupling is what the per-map GBA cannot express.
+
+        Self-checking like correct_loop: the result applies only when the
+        mean capped chi2 improved.  With a multi-device mesh the pass
+        runs observation-sharded (ops.ba.bundle_adjust_sharded)."""
+        from swarmmap_tpu import MAP_BASE
+
+        from ..ops import ba as ba_ops
+
+        members = sorted(self.groups.get(gid, ()))
+        if len(members) < 2:
+            return False
+        stores = [self.stores[m] for m in members]
+        import contextlib
+
+        with contextlib.ExitStack() as stack:
+            for st in stores:  # consistent order: members sorted
+                stack.enter_context(st.lock)
+            # -- world point table: own-origin live points per member
+            pt_rows: dict[int, int] = {}   # point gid -> row
+            pt_owner: list[tuple[MapStore, int]] = []
+            pts_w = []
+            for st in stores:
+                own = np.where(
+                    st.mp_alive[: st.n_mp]
+                    & (st.mp_gid[: st.n_mp] // MAP_BASE == st.map_id))[0]
+                gp = st.mp_global_pos(own)
+                for i, m in enumerate(own):
+                    pt_rows[int(st.mp_gid[m])] = len(pts_w)
+                    pt_owner.append((st, int(m)))
+                    pts_w.append(gp[i])
+            if len(pts_w) < 100:
+                return False
+            # -- cameras: effective world-frame SE3 per live keyframe
+            cam_rows: dict[tuple[int, int], int] = {}  # (map_id, slot) -> row
+            cams = []
+            Ks = []
+            for st in stores:
+                s = float(st.Twl_s)
+                for k in st.alive_kf_slots():
+                    G = st.kf_global_pose(int(k))
+                    T = np.eye(4, dtype=np.float32)
+                    T[:3, :3] = G[:3, :3] * s
+                    T[:3, 3] = G[:3, 3] * s
+                    cam_rows[(st.map_id, int(k))] = len(cams)
+                    cams.append(T)
+                    Ks.append(st.kf_K[k])
+            # -- observations: retarget foreign copies to the owner row
+            obs_cam, obs_pt, obs_uv, obs_is2 = [], [], [], []
+            for st in stores:
+                om, okf, okp = st.obs_arrays()
+                sel = st.mp_alive[om] & st.kf_alive[okf]
+                om, okf, okp = om[sel], okf[sel], okp[sel]
+                rows = np.array([pt_rows.get(int(g), -1)
+                                 for g in st.mp_gid[om]], np.int64)
+                keep = rows >= 0
+                om, okf, okp, rows = om[keep], okf[keep], okp[keep], rows[keep]
+                crow = np.array([cam_rows[(st.map_id, int(k))] for k in okf],
+                                np.int64)
+                obs_cam.append(crow)
+                obs_pt.append(rows)
+                obs_uv.append(st.kf_kp_uv[okf, okp])
+                obs_is2.append(
+                    1.0 / scale_factor ** (2.0 * st.kf_kp_octave[okf, okp]))
+            obs_cam = np.concatenate(obs_cam)
+            obs_pt = np.concatenate(obs_pt)
+            obs_uv = np.concatenate(obs_uv).astype(np.float32)
+            obs_is2 = np.concatenate(obs_is2).astype(np.float32)
+            if len(obs_cam) < 500:
+                return False
+            # gauge: fix the reference map's first two keyframes (two
+            # anchors pin the monocular scale, unlike a single one)
+            fixed = np.zeros(len(cams), bool)
+            ref = stores[0]
+            ref_kfs = ref.alive_kf_slots()
+            for k in ref_kfs[:2]:
+                fixed[cam_rows[(ref.map_id, int(k))]] = True
+            cams = np.stack(cams)
+            pts_w = np.stack(pts_w).astype(np.float32)
+            # before-cost (host): mean capped chi2 on the assembled obs
+            pc = np.einsum("oij,oj->oi", cams[obs_cam][:, :3, :3],
+                           pts_w[obs_pt]) + cams[obs_cam][:, :3, 3]
+            Kn = np.stack(Ks).astype(np.float32)
+            Ko = Kn[obs_cam]
+            z = np.maximum(pc[:, 2], 1e-6)
+            du = Ko[:, 0, 0] * pc[:, 0] / z + Ko[:, 0, 2] - obs_uv[:, 0]
+            dv = Ko[:, 1, 1] * pc[:, 1] / z + Ko[:, 1, 2] - obs_uv[:, 1]
+            chi2_0 = (du * du + dv * dv) * obs_is2
+            chi2_0 = np.where(pc[:, 2] > 0, chi2_0, chi2_cap)
+            cost_before = float(np.minimum(chi2_0, chi2_cap).mean())
+
+            prob = ba_ops.build_padded_problem(
+                cams, Kn, fixed, pts_w, obs_cam, obs_pt, obs_uv, obs_is2)
+            a = (iters + 1) // 2
+            if (mesh is not None and mesh.devices.size > 1
+                    and prob.obs_cam.shape[0] % mesh.devices.size == 0):
+                res = ba_ops.bundle_adjust_sharded(
+                    prob, mesh, iters_a=a, iters_b=iters - a, cg_iters=32)
+            else:
+                res = ba_ops.bundle_adjust(
+                    prob, iters_a=a, iters_b=iters - a, mode="cg",
+                    cg_iters=32)
+            Tn, pn, chi2_n = (np.asarray(x) for x in fetch(
+                res.Tcw, res.pts, res.obs_chi2))
+            nO = len(obs_cam)
+            cost_after = float(np.minimum(chi2_n[:nO], chi2_cap).mean())
+            if cost_after >= cost_before:
+                _log.info("group %d joint GBA discarded: chi2 %.2f -> %.2f",
+                          gid, cost_before, cost_after)
+                return False
+            # -- write back: world SE3 -> local poses through each Twl
+            for (map_id, k), row in cam_rows.items():
+                if fixed[row]:
+                    continue
+                st = self.stores[map_id]
+                s = float(st.Twl_s)
+                R_g, t_g = Tn[row, :3, :3], Tn[row, :3, 3]
+                T = np.eye(4, dtype=np.float32)
+                T[:3, :3] = R_g @ st.Twl_R
+                T[:3, 3] = (t_g + R_g @ st.Twl_t) / s
+                st.set_kf_pose(int(k), T)
+            # owner points: world -> owner-local
+            for row, (st, m) in enumerate(pt_owner):
+                s = float(st.Twl_s)
+                p_l = (st.Twl_R.T @ (pn[row] - st.Twl_t)) / s
+                st.set_mp_pos(int(m), p_l.astype(np.float32))
+            # foreign duplicate copies follow their owner's new position
+            for st in stores:
+                foreign = np.where(
+                    st.mp_alive[: st.n_mp]
+                    & (st.mp_gid[: st.n_mp] // MAP_BASE != st.map_id))[0]
+                s = float(st.Twl_s)
+                for m in foreign:
+                    row = pt_rows.get(int(st.mp_gid[m]))
+                    if row is None:
+                        continue
+                    p_l = (st.Twl_R.T @ (pn[row] - st.Twl_t)) / s
+                    st.set_mp_pos(int(m), p_l.astype(np.float32))
+            _log.info("group %d joint GBA over %d maps: %d cams, %d pts, "
+                      "%d obs — chi2 %.2f -> %.2f%s",
+                      gid, len(members), len(cams), len(pts_w), nO,
+                      cost_before, cost_after,
+                      " [sharded]" if mesh is not None else "")
+            return True
+
+    # ------------------------------------------------------------------
     def polish_group_transforms(self, sweeps: int = 2,
                                 min_pairs: int = 30) -> None:
         """Tighten every group's inter-map gauge from LIVE duplicate

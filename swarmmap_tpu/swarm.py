@@ -178,13 +178,19 @@ class Swarm:
         want_mesh = (self.config.mesh_agents
                      if self.config.mesh_agents is not None
                      else (n_dev > 1 and n_agents >= n_dev))
+        self.gba_mesh = None
         if want_mesh and n_dev > 1:
-            from .parallel.mesh import agent_mesh
+            from .parallel.mesh import agent_mesh, obs_mesh
 
             d = max(x for x in range(1, n_dev + 1) if n_agents % x == 0)
             self.mesh = agent_mesh(d)
             _log.info("agent mesh: %d agents sharded over %d devices",
                       n_agents, d)
+            # server-side GBA shards the observation axis over all
+            # devices (power-of-two count so padded buckets divide)
+            self.gba_mesh = obs_mesh()
+            for med in self.mediators:
+                med.loop_closing.mesh = self.gba_mesh
         self.frame_count = 0
         self.fused_cohort_dispatches = 0  # frames where ALL steady agents ran as ONE dispatch
         # single worker: overlaps the cohort's feature D2H with the pose
@@ -471,6 +477,16 @@ class Swarm:
         # final inter-map gauge polish over the full live duplicate-pair
         # set (the merge-time refinement only saw its own fuse pairs);
         # the queue is drained, so the stores are quiescent
+        self.map_manager.polish_group_transforms()
+        # joint merged-group GBA: couples the member maps through their
+        # cross-map duplicate observations (SURVEY.md §5); self-checking
+        # — applies only when the group chi2 improves — and runs
+        # observation-sharded when an agent mesh is up
+        for gid, members in list(self.map_manager.groups.items()):
+            if len(members) >= 2:
+                self.map_manager.group_global_ba(
+                    gid, mesh=self.gba_mesh,
+                    scale_factor=self.settings.orb.scale_factor)
         self.map_manager.polish_group_transforms()
         self.sync()
         if self.config.async_server:

@@ -144,3 +144,41 @@ def test_ba_handles_padding(rng):
     # live cameras still converge
     angs, dts = cam_errors(np.asarray(res.Tcw)[:6], Tcw_gt)
     assert angs.max() < 0.5
+
+
+def test_sharded_gba_matches_single_device(rng):
+    """bundle_adjust_sharded (obs axis split over an 8-device mesh, psum
+    reductions over the mesh axis) must converge like — and agree with —
+    the single-device CG backend on the same problem (SURVEY.md §5:
+    device-sharded server-side optimization)."""
+    import jax
+    from jax.sharding import Mesh
+
+    prob, Tcw_gt, pts_gt = make_ba_problem(rng, n_cams=12, n_pts=300)
+    # route through build_padded_problem: its power-of-two obs bucket
+    # guarantees the shard split divides the 8-device mesh
+    prob = ba.build_padded_problem(
+        np.asarray(prob.Tcw), np.asarray(prob.K), np.asarray(prob.cam_fixed),
+        np.asarray(prob.pts), np.asarray(prob.obs_cam),
+        np.asarray(prob.obs_pt), np.asarray(prob.obs_uv),
+        np.asarray(prob.obs_inv_sigma2),
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("obs",))
+    res_s = ba.bundle_adjust_sharded(prob, mesh, cg_iters=40)
+    res_1 = ba.bundle_adjust(prob, mode="cg", cg_iters=40)
+
+    # convergence to ground truth (valid prefix only)
+    angs, dts = cam_errors(np.asarray(res_s.Tcw)[:12], Tcw_gt)
+    assert angs.max() < 0.15, angs
+    assert dts.max() < 0.02, dts
+    err = np.linalg.norm(np.asarray(res_s.pts)[:300] - pts_gt, axis=1)
+    assert np.median(err) < 0.03
+
+    # agreement with the single-device backend (same math; only psum
+    # reduction order differs -> f32-level tolerance)
+    np.testing.assert_allclose(
+        np.asarray(res_s.Tcw)[:12], np.asarray(res_1.Tcw)[:12], atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(res_s.pts)[:300], np.asarray(res_1.pts)[:300], atol=5e-3)
+    agree = (np.asarray(res_s.obs_inlier) == np.asarray(res_1.obs_inlier))
+    assert agree.mean() > 0.99

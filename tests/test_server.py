@@ -439,3 +439,132 @@ def test_scheduler_per_agent_fifo(monkeypatch):
     sched.enqueue_request(0, codec.encode_slice(tiny))
     assert sched.process_pending() == 2
     assert seen == [50, 1], f"same-agent slices reordered: {seen}"
+
+
+def _build_two_map_group(rng, twl1_scale=1.1):
+    """Two stores in one group observing the SAME physical landmarks:
+    map 0 owns them, map 1 holds foreign copies; map 1's local frame is a
+    known Sim3 away.  Geometry is jittered so BA has work to do."""
+    from swarmmap_tpu import MAP_BASE
+    from swarmmap_tpu.core.map_store import MapStore
+    from swarmmap_tpu.ops import lie
+    from swarmmap_tpu.server.map_manager import MapManager
+    import jax.numpy as jnp
+
+    n_pts, n_cams = 150, 8
+    pts_w = np.stack([rng.uniform(-3, 3, n_pts), rng.uniform(-2, 2, n_pts),
+                      rng.uniform(5, 9, n_pts)], 1).astype(np.float32)
+    K = np.array([[450.0, 0, 160], [0, 450.0, 120], [0, 0, 1]], np.float32)
+    Tg = np.zeros((n_cams, 4, 4), np.float32)  # GT world->cam SE3
+    for c in range(n_cams):
+        w = np.array([0.0, 0.04 * (c - n_cams / 2), 0.0], np.float32)
+        Tg[c, :3, :3] = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        Tg[c, :3, 3] = [-0.3 * c + 1.0, 0.02 * c, 0.01 * c]
+        Tg[c, 3, 3] = 1.0
+
+    mgr = MapManager()
+    st0 = MapStore(map_id=0, n_kp=256)
+    st1 = MapStore(map_id=1, n_kp=256)
+    mgr.register(st0)
+    mgr.register(st1)
+    st1.group_id = st0.group_id = 0
+    mgr.groups = {0: {0, 1}}
+    # map 1 local frame: rotated/translated/scaled world
+    th = 0.3
+    R1 = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                   [-np.sin(th), 0, np.cos(th)]], np.float32)
+    t1 = np.array([0.5, -0.2, 0.3], np.float32)
+    s1 = twl1_scale
+    st1.set_transform(R1, t1, s1, exact=True)
+
+    def local_pose(st, c):
+        # T_cw_local from GT world SE3 through the store's Twl
+        s = float(st.Twl_s)
+        R_g, t_g = Tg[c, :3, :3], Tg[c, :3, 3]
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R_g @ st.Twl_R
+        T[:3, 3] = (t_g + R_g @ st.Twl_t) / s
+        return T
+
+    def local_pts(st):
+        s = float(st.Twl_s)
+        return ((pts_w - st.Twl_t) @ st.Twl_R) / s  # R^T applied rowwise
+
+    for st, cams, owner in ((st0, range(4), True), (st1, range(4, 8), False)):
+        pl = local_pts(st).astype(np.float32)
+        slots = []
+        for i in range(n_pts):
+            m = st.add_map_point(
+                pl[i] + rng.normal(0, 0.01, 3).astype(np.float32),
+                np.asarray(rng.randint(0, 2**32, 8, dtype=np.uint32)),
+                ref_kf=-1, gid=MAP_BASE * 0 + i)  # map 0 owns every point
+            slots.append(m)
+        for c in cams:
+            pc = pts_w @ Tg[c, :3, :3].T + Tg[c, :3, 3]
+            uv = (pc[:, :2] / pc[:, 2:3]) * 450.0 + K[:2, 2]
+            vis = np.where((pc[:, 2] > 0.5) & (np.abs(uv[:, 0] - 160) < 170)
+                           & (np.abs(uv[:, 1] - 120) < 130))[0][:256]
+            kp_uv = np.zeros((256, 2), np.float32)
+            kp_uv[: len(vis)] = uv[vis] + rng.normal(0, 0.4, (len(vis), 2))
+            valid = np.zeros(256, bool)
+            valid[: len(vis)] = True
+            # pose perturbation: BA must undo it.  The first two cameras
+            # of map 0 stay EXACT — group_global_ba fixes them as gauge
+            # anchors, and perturbed anchors would force a warp (they
+            # define the gauge, like kf0 does in production).
+            if owner and c < 2:
+                xi = np.zeros(6)
+            else:
+                xi = np.concatenate([rng.randn(3) * 0.01,
+                                     rng.randn(3) * 0.03])
+            T0 = np.asarray(
+                lie.se3_exp(jnp.asarray(xi, jnp.float32))) @ local_pose(st, c)
+            k = st.add_keyframe(
+                pose_cw=T0.astype(np.float32), K=K, kp_uv=kp_uv,
+                kp_octave=np.zeros(256, np.int32),
+                kp_angle=np.zeros(256, np.float32),
+                kp_response=np.ones(256, np.float32), kp_valid=valid,
+                desc=rng.randint(0, 2**32, (256, 8), dtype=np.uint32))
+            for kp, j in enumerate(vis):
+                st.add_observation(slots[j], k, kp)
+    return mgr, st0, st1, pts_w
+
+
+def _group_misalignment(st0, st1, n_pts):
+    a = st0.mp_global_pos(np.arange(n_pts))
+    b = st1.mp_global_pos(np.arange(n_pts))
+    return float(np.linalg.norm(a - b, axis=1).mean())
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_group_global_ba_joint_over_members(use_mesh):
+    """Joint merged-group GBA couples member maps through cross-map
+    duplicate observations and reduces both reprojection error and
+    inter-map landmark disagreement; the mesh variant runs
+    observation-sharded over 8 virtual devices (SURVEY.md §5)."""
+    import jax
+
+    from swarmmap_tpu.parallel.mesh import obs_mesh
+
+    rng = np.random.RandomState(7)
+    mgr, st0, st1, pts_w = _build_two_map_group(rng)
+    before = _group_misalignment(st0, st1, 150)
+    mesh = obs_mesh() if use_mesh else None
+    if use_mesh:
+        assert mesh.devices.size == 8
+    ok = mgr.group_global_ba(0, iters=10, mesh=mesh)
+    assert ok, "joint GBA did not apply"
+    after = _group_misalignment(st0, st1, 150)
+    # cross-map coupling: the two replicas' copies of the same landmark
+    # coincide after the joint pass (they start ~2 cm apart)
+    assert after < before * 0.1, (before, after)
+    # structure accuracy up to the monocular gauge (Sim3-aligned — two
+    # fixed cameras on a short arc leave a shallow scale/translation
+    # direction that absolute coordinates would unfairly penalize)
+    from swarmmap_tpu.utils.trajectory import umeyama_align
+
+    est = st0.mp_global_pos(np.arange(150))
+    s, R, t = umeyama_align(est, pts_w)
+    resid = np.linalg.norm(est @ (s * R).T + t - pts_w, axis=1)
+    # floor set by the 0.4 px observation noise at these baselines
+    assert np.median(resid) < 0.03, np.median(resid)
