@@ -171,3 +171,36 @@ def test_vocab_save_load(tmp_path, rng):
     w2, n2 = voc2.transform_np(descs[:32])
     np.testing.assert_array_equal(w1, w2)
     np.testing.assert_array_equal(n1, n2)
+
+
+def test_vocab_dbow2_binary_k10_L6_real_shape(tmp_path, rng):
+    """The REAL ORBvoc.bin shape: k=10, L=6, ~1.1M nodes, 10^6 words
+    (round-3 verdict: the loader had only been exercised on toy shapes;
+    the real file is ~45 MB and the record loop must survive it)."""
+    import struct
+
+    k, L = 10, 6
+    centers = [rng.randint(0, 2**32, (k**l, k, 8), dtype=np.uint32)
+               for l in range(L)]
+    valid = [np.ones((k**l, k), bool) for l in range(L)]
+    weights = (rng.rand(k**L).astype(np.float32) + 1e-3)
+    voc = vocab.Vocabulary(k=k, L=L, centers=centers, valid=valid,
+                           word_weights=weights, node_level=4)
+    p = tmp_path / "ORBvoc.bin"
+    voc.save_dbow2_bin(p)
+    raw_head = p.read_bytes()[:24]
+    nb_nodes, size_node, kk, LL, _, _ = struct.unpack("<IIiiii", raw_head)
+    n_expect = sum(k ** (l + 1) for l in range(L)) + 1  # full tree + root
+    assert (nb_nodes, size_node, kk, LL) == (n_expect, 41, 10, 6)
+    assert p.stat().st_size == 24 + (nb_nodes - 1) * 41  # ~45 MB
+
+    voc2 = vocab.Vocabulary.load_dbow2_bin(p)
+    assert voc2.k == 10 and voc2.L == 6
+    for l in (0, 3, L - 1):
+        np.testing.assert_array_equal(voc2.centers[l], centers[l])
+    np.testing.assert_allclose(voc2.word_weights, weights, rtol=1e-6)
+    descs = rng.randint(0, 2**32, (256, 8), dtype=np.uint32)
+    w1, n1 = voc.transform_np(descs)
+    w2, n2 = voc2.transform_np(descs)
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(n1, n2)
