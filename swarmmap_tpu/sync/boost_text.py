@@ -616,6 +616,11 @@ def _encode_keyframe(w: _Writer, p: dict, scale: float = 1.2, n_levels: int = 8)
 def _decode_keyframe(r: _Reader) -> dict:
     gid = r.uint()
     frame_id = r.uint()
+    if frame_id > (1 << 63) - 1:
+        # signed sentinel wrapped through the unsigned wire (virtual
+        # keyframes carry frame_id=-1, map_enhancer.py); unwrap so the
+        # int64 store does not overflow on apply
+        frame_id -= 1 << 64
     ts = r.f64()
     r.f64()  # mCreatedTime
     r.int_(); r.int_(); r.f32(); r.f32()   # grid dims + inverses

@@ -166,6 +166,25 @@ def test_map_slice_applies_to_store():
     np.testing.assert_allclose(st.mp_pos[m], [1.0, 2.0, 3.0])
 
 
+def test_virtual_kf_sentinel_frame_id_roundtrips():
+    """Virtual keyframes (map_enhancer.py) carry frame_id=-1; on the wire
+    that is an unsigned wrap to ULONG_MAX (the reference's `long unsigned
+    int mnFrameId`).  The decoder must unwrap it so the int64 store does
+    not overflow on apply — regression for the boost-text soak crash."""
+    from swarmmap_tpu.core.map_store import MapStore
+    from swarmmap_tpu.sync.oplog import Mapit
+
+    sl = _toy_slice()
+    sl.kfs[0]["frame_id"] = -1
+    sl.kfs[0]["genuine"] = False
+    back = bt.decode_slice(bt.encode_slice(sl))
+    assert back.kfs[0]["frame_id"] == -1
+    st = MapStore(map_id=1, n_kp=16, is_server=True)
+    Mapit(st).apply_slice(back)          # must not OverflowError
+    k = st.kf_by_gid[1000000]
+    assert int(st.kf_frame_id[k]) == -1
+
+
 def test_binary_map_file_roundtrip():
     """The .bin map-file codec (boost binary archives, System::SaveMap
     layout): pointer aliasing between the element sets and the allMPs /
