@@ -119,6 +119,13 @@ class SwarmConfig:
     # over ICI).  None = auto: on when the host exposes >1 device and
     # the swarm has at least one agent per device.
     mesh_agents: bool | None = None
+    # double-buffered dispatch (ROADMAP #1): dispatch frame t's cohort
+    # BEFORE committing frame t-1's results — the pose guess chains on
+    # device (constant-velocity from the still-device-resident previous
+    # pose), so host commit work and the tunnel's fetch round trip
+    # overlap the next frame's device execution.  The local-map bucket
+    # is one commit staler than the synchronous path; opt-in.
+    double_buffer: bool = False
 
 
 class Swarm:
@@ -171,6 +178,7 @@ class Swarm:
 
         self.mesh = None
         self._mesh_step = None
+        self._pending = None  # double-buffer: in-flight fused dispatch
         self._n_overlap_desc = 128  # prefilter descriptor-bank size D
         self._overlap_norm = float(self._n_overlap_desc)
         self.overlap_hint = None  # [N,N] cross-agent descriptor overlap
@@ -225,9 +233,16 @@ class Swarm:
                     if prep is not None:
                         fused.append((i, prep[0], prep[1]))
         if len(fused) > 1:
-            self._step_fused_cohort(live, fused, ts)
+            if self.config.double_buffer:
+                self._step_fused_double_buffered(live, fused, ts)
+            else:
+                self._step_fused_cohort(live, fused, ts)
             for i, _, _ in fused:
                 handled[i] = True
+        else:
+            # no cohort this frame: commit any in-flight speculative
+            # dispatch before agents take the staged path
+            self._flush_pending()
         # (a single fused agent goes through agent.track -> _track_fused,
         # same program un-vmapped)
 
@@ -279,12 +294,54 @@ class Swarm:
                     agent.agent_id, agent.system.get_system_state()
                 )
         if self.frame_count % self.config.push_every == 0:
+            # a distribute may rebase the map; a pending speculative
+            # dispatch would then commit old-gauge poses — flush first
+            self._flush_pending()
             with STATS.stage("sync"):
                 self.sync()
 
     def _step_fused_cohort(self, live, fused, ts: float):
         """Run all steady-state agents' frames as ONE device dispatch +
         ONE batched fetch, then commit each agent's result on host."""
+        self._flush_pending()
+        pend = self._dispatch_fused(live, fused, ts)
+        self._commit_pending(pend)
+
+    def _step_fused_double_buffered(self, live, fused, ts: float):
+        """ROADMAP #1: dispatch frame t BEFORE committing frame t-1.
+
+        The previous frame's results are still device-resident when t is
+        dispatched: the pose guess chains on device (constant velocity
+        from the uncommitted pose), so the device starts t's extraction
+        while the host fetches and commits t-1 — the tunnel round trip
+        and all host commit work overlap device execution.  Costs one
+        commit of staleness in the local-map bucket; a cohort change or
+        a sync boundary flushes first."""
+        pend = self._pending
+        cur_ids = {id(live[i][0]) for i, _, _ in fused}
+        if pend is not None and set(pend["rows"]) != cur_ids:
+            self._flush_pending()
+            pend = None
+        self._pending = None
+        new_pend = self._dispatch_fused(live, fused, ts, chain=pend)
+        if pend is not None:
+            fallen = self._commit_pending(pend)
+            # a fallen agent's speculative guess chained off a bad pose:
+            # its frame-t row commits via the staged path instead
+            new_pend["invalid"] |= fallen
+        self._pending = new_pend
+
+    def _flush_pending(self):
+        if self._pending is not None:
+            pend, self._pending = self._pending, None
+            self._commit_pending(pend)
+
+    def _dispatch_fused(self, live, fused, ts: float, chain=None) -> dict:
+        """Stack + upload the cohort inputs and dispatch the fused
+        program; returns the pending-commit record.  With `chain`, pose
+        guesses for agents present in the previous (uncommitted)
+        dispatch are chained ON DEVICE: guess(t) = V P(t-1) with
+        V = P(t-1) P(t-2)^-1 — no host fetch on the critical path."""
         import jax.numpy as jnp
 
         from . import pipeline
@@ -319,6 +376,24 @@ class Swarm:
                     buf[rows[id(live[i][0])]] = getattr(inp, f)
                 stacked.append(jnp.asarray(buf))
             inputs = pipeline.TrackInputs(*stacked)
+        if chain is not None:
+            sel_new, sel_old, Ppp_inv = [], [], []
+            for i, _inp, _slots in fused:
+                agent = live[i][0]
+                aid = id(agent)
+                lf = agent.system.tracking.last_frame
+                if (aid in chain["rows"] and aid not in chain["invalid"]
+                        and lf is not None and lf.pose_cw is not None):
+                    sel_new.append(rows[aid])
+                    sel_old.append(chain["rows"][aid])
+                    Ppp_inv.append(np.linalg.inv(lf.pose_cw))
+            if sel_new:
+                P_prev = chain["out"].Tcw[jnp.asarray(sel_old, jnp.int32)]
+                G = P_prev @ jnp.asarray(
+                    np.stack(Ppp_inv), jnp.float32) @ P_prev
+                inputs = inputs._replace(
+                    Tcw_guess=inputs.Tcw_guess.at[
+                        jnp.asarray(sel_new, jnp.int32)].set(G))
         with STATS.stage("dispatch"):
             STATS.bump("rpc_dispatch")
             window_th = self.agents[0].system.tracking.p.fused_window_th
@@ -367,20 +442,36 @@ class Swarm:
                         tuple(np.asarray(x) for x in fetch(*feat_leaves)))
                 return feats_host[0]
 
-        # run the feature fetch concurrently with the pose fetch below:
-        # both transfers share the device round trip window, so a
+        # run the feature fetch concurrently with the pose fetch at
+        # commit time: both transfers share one round-trip window, so a
         # keyframe frame's ensure_features() is a host-memory hit
         self._prefetch_pool.submit(_fetch_all_feats)
+        self.fused_cohort_dispatches += 1
+        return {
+            "out": out, "overlap_dev": overlap_dev, "rows": rows,
+            "items": [(live[i][0], live[i][1], slots) for i, _, slots in fused],
+            "ts": ts, "invalid": set(), "fetch_feats": _fetch_all_feats,
+        }
 
+    def _commit_pending(self, pend: dict) -> set:
+        """Fetch the dispatch's (pose, inliers, matches) and commit every
+        agent's frame on host.  Returns the ids of agents whose commit
+        fell back to the staged path (low inliers) — a double-buffered
+        successor dispatch chained its guess off those rows and must not
+        trust its speculative result."""
+        from .utils.device import fetch
+
+        out, rows, ts = pend["out"], pend["rows"], pend["ts"]
         with STATS.stage("fetch"):
             # steady path fetches ONLY (pose, inliers, matches) — the
             # feature arrays stay device-resident behind per-agent lazy
             # providers and leave the device only on keyframe / fallback
             # frames (~1 in 4-20)
-            if overlap_dev is not None:
+            if pend["overlap_dev"] is not None:
                 Tcw_b, ninl_b, match_b, overlap = (
                     np.asarray(x) for x in fetch(
-                        out.Tcw, out.n_inliers, out.match_mp, overlap_dev)
+                        out.Tcw, out.n_inliers, out.match_mp,
+                        pend["overlap_dev"])
                 )
                 self._update_overlap_hint(overlap, rows)
             else:
@@ -388,21 +479,29 @@ class Swarm:
                     np.asarray(x)
                     for x in fetch(out.Tcw, out.n_inliers, out.match_mp)
                 )
-        self.fused_cohort_dispatches += 1
+        fallen: set = set()
         with STATS.stage("commit"):
-            for i, _inp, slots in fused:
-                agent, img = live[i]
+            for agent, img, slots in pend["items"]:
                 tr = agent.system.tracking
                 j = rows[id(agent)]
+                if id(agent) in pend["invalid"]:
+                    # speculative result built on a bad chained guess —
+                    # track the stored frame through the staged path
+                    agent.track(img, ts)
+                    fallen.add(id(agent))
+                    continue
+                if int(ninl_b[j]) < tr.p.min_inliers_local:
+                    fallen.add(id(agent))
 
-                def provider(j=j):
-                    return tuple(a[j] for a in _fetch_all_feats())
+                def provider(j=j, f=pend["fetch_feats"]):
+                    return tuple(a[j] for a in f())
 
                 frame = tr.commit_fused(img, ts, slots, Tcw_b[j], ninl_b[j],
                                         match_b[j], provider)
                 pose = tr.finish_frame(frame, ts)
                 if pose is not None:
                     agent.frames_tracked += 1
+        return fallen
 
     def _update_overlap_hint(self, overlap: np.ndarray, rows: dict):
         """Feed the ICI cross-agent descriptor-overlap matrix to the
@@ -468,6 +567,7 @@ class Swarm:
     def finish(self):
         """Final flush (reference stops after 6 empty pushes; one final
         sync is enough for the synchronous harness)."""
+        self._flush_pending()
         self._prefetch_pool.shutdown(wait=True)
         if self.config.async_mapping:
             for a in self.agents:

@@ -126,6 +126,41 @@ def test_cross_map_point_fusion(swarm_run):
     assert observed_foreign > 0
 
 
+def test_double_buffered_dispatch_matches_sync(swarm_run):
+    """ROADMAP #1: double-buffered dispatch (frame t dispatched before
+    frame t-1 commits, pose guess chained on device) must track the same
+    sequences with the same accuracy as the synchronous cohort path —
+    the staleness it introduces is one commit in the local-map bucket,
+    not a tracking regression."""
+    from swarmmap_tpu.utils.trajectory import ate_rmse
+
+    sync_swarm, seqs = swarm_run
+    n_frames = len(seqs[0])
+    settings = make_settings(seqs[0].world, (240, 320))
+    swarm = Swarm(2, settings,
+                  config=SwarmConfig(push_every=8, report_every=4,
+                                     double_buffer=True),
+                  run_server_gba=False)
+    for i in range(n_frames):
+        swarm.step([s.read(i) for s in seqs], float(seqs[0].timestamps[i]))
+    swarm.finish()
+    assert swarm._pending is None, "finish() must flush the in-flight dispatch"
+    assert swarm.fused_cohort_dispatches > 0.3 * n_frames
+    for agent, ref_agent, seq in zip(swarm.agents, sync_swarm.agents, seqs):
+        assert agent.frames_tracked >= min(0.9 * ref_agent.frames_tracked,
+                                           0.6 * n_frames), (
+            agent.frames_tracked, ref_agent.frames_tracked)
+        # per-frame trajectory accuracy vs ground truth
+        ts_to_idx = {float(t): i for i, t in enumerate(seq.timestamps)}
+        tr = agent.system.tracking.trajectory
+        idx = [ts_to_idx[float(t)] for t, _ in tr if float(t) in ts_to_idx]
+        est_t = np.stack([T[:3, 3] for _, T in tr])
+        gt_t = seq.world.poses_wc[idx][:, :3, 3]
+        span = np.linalg.norm(gt_t.max(0) - gt_t.min(0))
+        rmse = ate_rmse(est_t, gt_t)
+        assert rmse < 0.05 * span, f"ATE {rmse:.3f} vs span {span:.2f}"
+
+
 def test_sts_priority_ordering():
     """Unstable agents outrank stable ones regardless of contribution."""
     from swarmmap_tpu.core.tracking import SystemState
