@@ -61,7 +61,8 @@ def bench_swarm_step(budget_s: float = 420.0,
     # the reference's free LocalMapping::Run thread does
     swarm = Swarm(N_AGENTS, settings,
                   config=SwarmConfig(push_every=20, report_every=10,
-                                     async_mapping=True, async_server=True),
+                                     async_mapping=True, async_server=True,
+                                     double_buffer=True),
                   run_server_gba=False)
     t_start = time.perf_counter()
     times = []

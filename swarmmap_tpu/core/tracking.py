@@ -649,7 +649,7 @@ class Tracking:
         valid = (frame.mp != NO_MP) & st.mp_alive[slots] & frame.valid
         if valid.sum() < 3:
             return 0
-        res = pose_opt.pose_optimize(
+        res = pose_opt.pose_optimize_auto(
             jnp.asarray(frame.pose_cw), jnp.asarray(frame.K),
             jnp.asarray(st.mp_pos[slots]), jnp.asarray(frame.xy),
             jnp.asarray(1.0 / frame.sigma2),

@@ -186,3 +186,30 @@ def pose_optimize(
     chi2 = jnp.sum(r * r, 1) * inv_sigma2
     inl = valid & (chi2 <= chi2_th) & (z > 0)
     return PoseOptResult(Tcw=Tcw, inliers=inl, chi2=chi2)
+
+
+def pose_optimize_auto(
+    Tcw0, K, pts_w, uv, inv_sigma2, valid,
+    rounds: int = 4, iters: int = 10, chi2_th: float = CHI2_MONO,
+) -> PoseOptResult:
+    """Backend dispatcher shared by the fused and staged paths: on TPU
+    the whole LM optimization runs as ONE Pallas kernel
+    (ops/pallas_pose.py) — the XLA lowering pays ~47 µs of launch
+    latency per sequential LM iteration, so the staged path's 4x10
+    schedule costs ~1.9 ms of pure latency that the kernel collapses to
+    ~10 µs.  Elsewhere (CPU tests, interpret) the XLA formulation.
+    Opt out with SWARMMAP_NO_PALLAS_POSE=1."""
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("SWARMMAP_NO_PALLAS_POSE")):
+        from . import pallas_pose
+
+        return pallas_pose.pose_optimize_pallas(
+            Tcw0, K, pts_w, uv, inv_sigma2, valid,
+            rounds=rounds, iters=iters, chi2_th=chi2_th,
+        )
+    return pose_optimize(
+        Tcw0, K, pts_w, uv, inv_sigma2, valid,
+        rounds=rounds, iters=iters, chi2_th=chi2_th,
+    )

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .ops import extractor, matching, pallas_pose, pose_opt
+from .ops import extractor, matching, pose_opt
 
 
 class TrackInputs(NamedTuple):
@@ -114,19 +114,12 @@ def tracking_step(
     # (ops/pallas_pose.py): the XLA lowering pays ~47us of launch latency
     # per sequential LM iteration (~0.7ms per frame), the kernel ~10us
     # total; same math, inlier sets agree to 99.8% (reduction-order f32).
-    import os
-
-    if (jax.default_backend() == "tpu"
-            and not os.environ.get("SWARMMAP_NO_PALLAS_POSE")):
-        res = pallas_pose.pose_optimize_pallas(
-            inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], xy_ud,
-            1.0 / sig2, valid, rounds=2, iters=8,
-        )
-    else:
-        res = pose_opt.pose_optimize(
-            inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], xy_ud,
-            1.0 / sig2, valid, rounds=2, iters=8,
-        )
+    # The staged path (_pose_opt_frame) routes through the same
+    # dispatcher with its 4x10 relocalization-grade schedule.
+    res = pose_opt.pose_optimize_auto(
+        inp.Tcw_guess, inp.K, inp.mp_pos[kp_mp], xy_ud,
+        1.0 / sig2, valid, rounds=2, iters=8,
+    )
     return TrackOutputs(
         Tcw=res.Tcw,
         n_inliers=res.inliers.sum().astype(jnp.int32),

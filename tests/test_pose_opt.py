@@ -102,3 +102,43 @@ def test_pallas_pose_matches_xla(rng):
     rb = pallas_pose.pose_optimize_pallas(*args, rounds=2, iters=8, interpret=True)
     assert float(jnp.abs(ra.Tcw - rb.Tcw).max()) < 1e-3
     assert (np.asarray(ra.inliers) == np.asarray(rb.inliers)).mean() > 0.99
+
+
+def test_pallas_pose_matches_xla_staged_schedule(rng):
+    """Ablation for routing the STAGED path through the Pallas kernel
+    (pose_optimize_auto, tracking._pose_opt_frame): the kernel at the
+    4x10 relocalization-grade schedule must produce the same pose and
+    inlier set as the XLA formulation, from a cold (identity-perturbed)
+    guess with 20% outliers — the staged path's worst case."""
+    from swarmmap_tpu.ops import pallas_pose
+
+    for trial in range(5):
+        trng = np.random.RandomState(300 + trial)
+        pts, uv, K, T_true, out = setup(trng, n=512)
+        xi = np.concatenate([trng.randn(3) * 0.05,
+                             trng.randn(3) * 0.15]).astype(np.float32)
+        T0 = np.asarray(lie.se3_exp(jnp.asarray(xi))) @ T_true
+        args = (jnp.asarray(T0), jnp.asarray(K), jnp.asarray(pts),
+                jnp.asarray(uv), jnp.ones(len(pts), jnp.float32),
+                jnp.ones(len(pts), bool))
+        ra = pose_opt.pose_optimize(*args, rounds=4, iters=10, step_tol=0.0)
+        rb = pallas_pose.pose_optimize_pallas(*args, rounds=4, iters=10,
+                                              interpret=True)
+        ang_a, dt_a = pose_err(np.asarray(ra.Tcw), T_true)
+        ang_b, dt_b = pose_err(np.asarray(rb.Tcw), T_true)
+        assert ang_b < max(1.5 * ang_a, 0.3), (ang_a, ang_b)
+        assert dt_b < max(1.5 * dt_a, 0.03), (dt_a, dt_b)
+        agree = (np.asarray(ra.inliers) == np.asarray(rb.inliers)).mean()
+        assert agree > 0.98, agree
+
+
+def test_pose_optimize_auto_dispatch(rng, monkeypatch):
+    """pose_optimize_auto uses the XLA path off-TPU and respects the
+    SWARMMAP_NO_PALLAS_POSE escape hatch on TPU."""
+    pts, uv, K, T_true, out = setup(rng)
+    args = (jnp.asarray(T_true), jnp.asarray(K), jnp.asarray(pts),
+            jnp.asarray(uv), jnp.ones(len(pts), jnp.float32),
+            jnp.ones(len(pts), bool))
+    r_auto = pose_opt.pose_optimize_auto(*args)
+    r_xla = pose_opt.pose_optimize(*args)
+    assert float(jnp.abs(r_auto.Tcw - r_xla.Tcw).max()) < 1e-5
