@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from swarmmap_tpu.core.dynamic import DynamicRunner, DynamicVotes
 from swarmmap_tpu.core.map_store import MapStore
@@ -217,3 +218,33 @@ def test_dynamic_filter_improves_tracking_on_moving_object(rng):
     assert n_f >= 0.8 * n_frames
     # filtered tracking is at least as accurate (tolerate tiny noise)
     assert ate_f <= ate_u * 1.1 + 1e-3, (ate_f, ate_u)
+
+
+def test_torch_segmenter_model_through_hook():
+    """The segment_fn hook runs a REAL deep-learning-framework model
+    (reference: DynamicExtractor.cc wires Mask-RCNN through cv::dnn;
+    no pretrained weights ship in either repo).  A torch conv net with a
+    deterministic brightness kernel segments a moving bright square; the
+    DynamicExtractor cadence + flow propagation consume its masks."""
+    torch = pytest.importorskip("torch")
+    from swarmmap_tpu.core.dynamic import DynamicExtractor
+
+    net = torch.nn.Conv2d(1, 1, 5, padding=2, bias=False)
+    with torch.no_grad():
+        net.weight[:] = 1.0 / 25.0  # 5x5 box filter: local brightness
+
+    def segment(img):
+        with torch.no_grad():
+            x = torch.from_numpy(np.asarray(img, np.float32))[None, None]
+            heat = net(x)[0, 0].numpy()
+        return heat > 128.0
+
+    ex = DynamicExtractor(segment, segment_every=2)
+    h, w = 120, 160
+    for t in range(4):
+        img = np.full((h, w), 40, np.float32)
+        x0 = 40 + 8 * t
+        img[30:60, x0:x0 + 30] = 250.0
+        mask = ex.mask_for(img)
+        assert mask[45, x0 + 15], f"frame {t}: object center not masked"
+        assert not mask[100, 20], f"frame {t}: background masked"
