@@ -450,6 +450,72 @@ class MapStore:
         self._emit("mp", "AddObservation", int(self.mp_gid[m]),
                    (int(self.kf_gid[k]), kp_idx), log)
 
+    def add_observations_new_kf(self, k: int, kps: np.ndarray,
+                                ms: np.ndarray, log: bool = True):
+        """Batch AddObservation for a FRESHLY INSERTED keyframe whose
+        kp->mp row is still empty.
+
+        Semantically equal to calling add_observation(m, k, kp) per
+        matched keypoint (reference: the per-keypoint AddMapPoint /
+        AddObservation loop in Tracking::CreateNewKeyFrame,
+        Tracking.cc), but without the per-pair python covisibility
+        walk: there is nothing to steal (the row is empty) and the
+        whole covisibility row for k is rebuilt EXACTLY from the batch
+        with one bincount over the live observation arrays.  Cuts the
+        lock-held host time of keyframe insertion from O(sum observers)
+        python to O(batch) + one numpy pass."""
+        ms = np.asarray(ms)
+        kps = np.asarray(kps)
+        keep = (ms != NO_MP) & self.mp_alive[np.clip(ms, 0, None)]
+        ms, kps = ms[keep], kps[keep]
+        if len(ms) == 0:
+            return
+        # duplicate map points in one frame: the sequential loop's net
+        # effect is last-kp-wins — replicate via reversed unique
+        uniq, first_rev = np.unique(ms[::-1], return_index=True)
+        if len(uniq) != len(ms):
+            sel = len(ms) - 1 - first_rev
+            ms, kps = ms[sel], kps[sel]
+        self.kf_kp_mp[k, kps] = ms
+        # obs rows: one capacity check, then slice-assign
+        need = self.obs_n + len(ms)
+        while need > len(self.obs_mp):
+            if self._obs_dead * 2 > self.obs_n:
+                self._obs_compact()
+                need = self.obs_n + len(ms)
+                continue
+            for name in ("obs_mp", "obs_kf", "obs_kp", "obs_alive"):
+                setattr(self, name,
+                        _grow(getattr(self, name), 2 * len(self.obs_mp)))
+            self.obs_mp[self.obs_n:] = -1
+            self.obs_kf[self.obs_n:] = -1
+        r0 = self.obs_n
+        self.obs_n = need
+        self.obs_mp[r0:need] = ms
+        self.obs_kf[r0:need] = k
+        self.obs_kp[r0:need] = kps
+        self.obs_alive[r0:need] = True
+        self.mp_nobs[ms] += 1
+        row_of = self._obs_row
+        kf_gid = int(self.kf_gid[k])
+        for i, (m, kp) in enumerate(zip(ms.tolist(), kps.tolist())):
+            row_of[(m, k)] = r0 + i
+            self.obs[m][k] = kp
+            self.dirty_mps.add(m)
+            self._emit("mp", "AddObservation", int(self.mp_gid[m]),
+                       (kf_gid, kp), log)
+        # exact covisibility row for k (the row was empty before, so
+        # this batch IS k's observation set)
+        in_set = np.zeros(len(self.mp_alive), bool)
+        in_set[ms] = True
+        om, okf, _ = self.obs_arrays()
+        sel = in_set[om] & (okf != k) & self.kf_alive[okf]
+        binc = np.bincount(okf[sel], minlength=self.n_kf)
+        counts = {int(k2): int(binc[k2]) for k2 in np.nonzero(binc)[0]}
+        for k2, w in counts.items():
+            self.covis.setdefault(k2, {})[k] = w
+        self.covis[k] = counts
+
     def erase_observation(self, m: int, k: int, log: bool = True):
         if m not in self.obs or k not in self.obs[m]:
             return

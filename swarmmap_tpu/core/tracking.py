@@ -525,9 +525,8 @@ class Tracking:
         )
         st.kf_words[k, : len(frame.words)] = frame.words
         st.kf_nodes[k, : len(frame.nodes)] = frame.nodes
-        for kp, m in enumerate(frame.mp):
-            if m != NO_MP:
-                st.add_observation(int(m), k, kp)
+        kps = np.where(frame.mp != NO_MP)[0]
+        st.add_observations_new_kf(k, kps, frame.mp[kps])
         self.kfdb.add(st, k)
         return k
 

@@ -1,0 +1,137 @@
+"""add_observations_new_kf (the tracker's batched keyframe-insert path)
+must be semantically identical to the sequential add_observation loop it
+replaces — obs dicts, SoA rows, nobs, covisibility, and the emitted
+oplog records (reference behavior: the AddMapPoint/AddObservation loop
+in Tracking::CreateNewKeyFrame)."""
+import numpy as np
+
+from swarmmap_tpu.core.map_store import NO_MP, MapStore
+
+
+def _store(log):
+    st = MapStore(map_id=0, n_kp=64, kf_capacity=8, mp_capacity=256,
+                  log_fn=(lambda *a: log.append(a)) if log is not None else None)
+    rng = np.random.RandomState(0)
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32)
+    for i in range(3):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.3 * i, 0, 0]
+        st.add_keyframe(
+            pose_cw=T, K=K,
+            kp_uv=rng.uniform(5, 60, (64, 2)).astype(np.float32),
+            kp_octave=rng.randint(0, 3, 64),
+            kp_angle=rng.uniform(0, 360, 64).astype(np.float32),
+            kp_response=rng.rand(64).astype(np.float32),
+            kp_valid=np.ones(64, bool),
+            desc=rng.randint(0, 2**32, (64, 8), dtype=np.uint32),
+            ts=float(i), hw=(64, 64),
+        )
+    for j in range(40):
+        pos = np.array([j * 0.1, 0.0, 3.0], np.float32)
+        m = st.add_map_point(pos, rng.randint(0, 2**32, 8, dtype=np.uint32),
+                             ref_kf=j % 3)
+        # seed some observations on the existing keyframes
+        for k in range(j % 3 + 1):
+            st.add_observation(m, k, (j * 7 + k) % 64)
+    # one dead point to exercise the alive filter
+    st.set_mp_bad(5)
+    return st
+
+
+def _batch(rng):
+    kps = rng.choice(64, size=30, replace=False)
+    ms = rng.choice(40, size=30, replace=True)  # duplicates on purpose
+    ms[3] = NO_MP
+    ms[7] = 5  # dead point
+    return kps, ms
+
+
+def test_batch_matches_sequential():
+    rng = np.random.RandomState(42)
+    kps, ms = _batch(rng)
+    kf_args = dict(
+        pose_cw=np.eye(4, dtype=np.float32),
+        K=np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]], np.float32),
+        kp_uv=np.zeros((64, 2), np.float32), kp_octave=np.zeros(64, int),
+        kp_angle=np.zeros(64, np.float32), kp_response=np.zeros(64, np.float32),
+        kp_valid=np.ones(64, bool), desc=np.zeros((64, 8), np.uint32),
+        ts=3.0, hw=(64, 64),
+    )
+
+    log_a: list = []
+    st_a = _store(log_a)
+    k = st_a.add_keyframe(**kf_args)
+    log_a.clear()
+    for kp, m in zip(kps, ms):
+        st_a.add_observation(int(m), k, int(kp))
+
+    log_b: list = []
+    st_b = _store(log_b)
+    k2 = st_b.add_keyframe(**kf_args)
+    assert k2 == k
+    log_b.clear()
+    st_b.add_observations_new_kf(k, kps, ms)
+
+    # kp->mp row
+    np.testing.assert_array_equal(st_a.kf_kp_mp[k], st_b.kf_kp_mp[k])
+    # obs dicts
+    assert st_a.obs == st_b.obs
+    # nobs
+    np.testing.assert_array_equal(st_a.mp_nobs[: st_a.n_mp],
+                                  st_b.mp_nobs[: st_b.n_mp])
+    # SoA rows describe the same live (m, kf, kp) set
+    rows_a = set(zip(*(x.tolist() for x in st_a.obs_arrays())))
+    rows_b = set(zip(*(x.tolist() for x in st_b.obs_arrays())))
+    assert rows_a == rows_b
+    # covisibility: row k and every symmetric entry
+    assert st_a.covis.get(k, {}) == st_b.covis.get(k, {})
+    for k2_ in range(st_a.n_kf):
+        assert st_a.covis.get(k2_, {}) == st_b.covis.get(k2_, {}), k2_
+    # oplog records: the batch path emits ONE AddObservation per point
+    # (the net record); the sequential loop also emits the superseded
+    # intermediates for duplicate points.  Compare net records — the
+    # replica's final state after replay is identical either way.
+    def net(log):
+        last = {}
+        for rec in log:
+            last[(rec[0], rec[1], rec[2])] = rec
+        return sorted(map(repr, last.values()))
+
+    assert net(log_a) == net(log_b)
+
+
+def test_batch_empty_and_all_invalid():
+    st = _store(None)
+    kf_args = dict(
+        pose_cw=np.eye(4, dtype=np.float32),
+        K=np.eye(3, dtype=np.float32),
+        kp_uv=np.zeros((64, 2), np.float32), kp_octave=np.zeros(64, int),
+        kp_angle=np.zeros(64, np.float32), kp_response=np.zeros(64, np.float32),
+        kp_valid=np.ones(64, bool), desc=np.zeros((64, 8), np.uint32),
+    )
+    k = st.add_keyframe(**kf_args)
+    st.add_observations_new_kf(k, np.zeros(0, int), np.zeros(0, int))
+    st.add_observations_new_kf(k, np.array([1, 2]), np.array([NO_MP, 5]))
+    assert (st.kf_kp_mp[k] == NO_MP).all()
+    assert st.covis.get(k, {}) == {}
+
+
+def test_batch_grows_obs_capacity():
+    st = _store(None)
+    kf_args = dict(
+        pose_cw=np.eye(4, dtype=np.float32), K=np.eye(3, dtype=np.float32),
+        kp_uv=np.zeros((64, 2), np.float32), kp_octave=np.zeros(64, int),
+        kp_angle=np.zeros(64, np.float32), kp_response=np.zeros(64, np.float32),
+        kp_valid=np.ones(64, bool), desc=np.zeros((64, 8), np.uint32),
+    )
+    # push the obs table to near capacity, then batch-insert past it
+    for _ in range(6):
+        k = st.add_keyframe(**kf_args)
+        kps = np.arange(40)
+        ms = np.arange(40)
+        st.add_observations_new_kf(k, kps, ms)
+        alive = st.mp_alive[np.arange(40)]
+        np.testing.assert_array_equal(
+            st.kf_kp_mp[k, np.arange(40)][alive], np.arange(40)[alive])
+    m, kf, kp = st.obs_arrays()
+    assert len(m) == len(set(zip(m.tolist(), kf.tolist())))

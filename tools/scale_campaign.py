@@ -111,13 +111,17 @@ def main() -> int:
     # 35-minute run).  Exit 99 so a retry wrapper can relaunch once the
     # tunnel returns instead of hanging until the driver kills us.
     heartbeat = [time.time()]
+    # a loop-closure step (correct + fuse + full GBA) can legitimately
+    # run minutes on a contended host — keep the default generous and
+    # overridable (SCALE_STALL_S) rather than kill a healthy run
+    stall_s = float(os.environ.get("SCALE_STALL_S", "900"))
 
     def _stall_watchdog():
         while True:
             time.sleep(30)
-            if time.time() - heartbeat[0] > 420:
-                print("stall watchdog: no progress in 420s (wedged "
-                      "tunnel?), exiting 99 for retry", flush=True)
+            if time.time() - heartbeat[0] > stall_s:
+                print(f"stall watchdog: no progress in {stall_s:.0f}s "
+                      "(wedged tunnel?), exiting 99 for retry", flush=True)
                 os._exit(99)
 
     threading.Thread(target=_stall_watchdog, daemon=True).start()
