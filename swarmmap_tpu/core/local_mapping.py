@@ -14,6 +14,7 @@ overlaps mapping of frame t on device vs host.
 """
 from __future__ import annotations
 
+import os
 import threading
 import time
 
@@ -42,8 +43,7 @@ import functools
 import jax
 
 
-@jax.jit
-def _batched_triangulate(
+def _triangulate_body(
     nodes1, free1, uv1, desc1, angle1, sig2_1, P1, T1, c1,
     nodes2, free2, uv2, desc2, angle2, sig2_2, F12, P2, T2, c2, nb_ok,
 ):
@@ -77,8 +77,10 @@ def _batched_triangulate(
     )
 
 
-@jax.jit
-def _batched_fuse_match(
+_batched_triangulate = jax.jit(_triangulate_body)
+
+
+def _fuse_body(
     mp_pos, mp_desc, mp_maxd, mp_ok,
     kf_Tcw, kf_K, kf_uv, kf_oct, kf_valid, kf_desc, kf_ok,
     hw_h, hw_w, scale, n_levels, window_th,
@@ -109,6 +111,61 @@ def _batched_fuse_match(
     return jax.vmap(per_kf)(kf_Tcw, kf_K, kf_uv, kf_oct, kf_valid, kf_desc, kf_ok)
 
 
+_batched_fuse_match = jax.jit(_fuse_body)
+
+
+@jax.jit
+def _batched_triangulate_then_fuse(
+    nodes1, free1, uv1, desc1, angle1, sig2_1, P1, T1, c1,
+    nodes2, free2, uv2, desc2, angle2, sig2_2, F12, P2, T2, c2, nb_ok,
+    oct1,
+    mp_pos, mp_desc, mp_maxd, mp_ok,
+    kf_Tcw, kf_K, kf_uv, kf_oct, kf_valid, kf_desc, kf_ok,
+    hw_h, hw_w, scale, n_levels, window_th,
+):
+    """CreateNewMapPoints + SearchInNeighbors as ONE device program
+    (ROADMAP perf #2): triangulate against every covisible neighbor,
+    dedup the winners on device (first neighbor claims a keypoint —
+    mirrors the host commit order), append the new points to the fuse
+    candidate bucket, and window-match the extended candidate set into
+    every target keyframe.  Halves the mapping worker's device round
+    trips per keyframe (reference runs these as two sequential host
+    phases, LocalMapping.cc:70-76)."""
+    idx_b, good_b, pts_b = _triangulate_body(
+        nodes1, free1, uv1, desc1, angle1, sig2_1, P1, T1, c1,
+        nodes2, free2, uv2, desc2, angle2, sig2_2, F12, P2, T2, c2, nb_ok,
+    )
+    # device dedup identical to _triangulate_commit's claim loop: for a
+    # keypoint i of KF k, the FIRST neighbor (lowest bi) with a good
+    # triangulation wins; the host creates exactly that point.
+    any_good = good_b.any(axis=0)
+    first_nb = jnp.argmax(good_b, axis=0)
+    n_kp = good_b.shape[1]
+    new_pos = pts_b[first_nb, jnp.arange(n_kp)]
+    new_pos = jnp.where(any_good[:, None], new_pos, 0.0)
+    # max scale-invariance distance exactly as the host will set it
+    # (map_store.update_normal_and_depth: ref KF = k, level = kp octave)
+    dist = jnp.linalg.norm(new_pos - c1, axis=1)
+    new_maxd = jnp.maximum(dist, 1e-6) * jnp.asarray(scale) ** oct1.astype(
+        jnp.float32)
+    # new points go FIRST: masked_match's mutual-best resolve breaks
+    # Hamming ties toward the LOWER candidate index, and the two-phase
+    # path scans KF k's row (where new points live) before the
+    # neighbors' — new-first keeps the merged program's tie bias
+    # identical, so duplicate new points fuse into existing ones instead
+    # of surviving as separate map points.
+    cand_pos = jnp.concatenate([new_pos, mp_pos], axis=0)
+    cand_desc = jnp.concatenate([desc1, mp_desc], axis=0)
+    cand_maxd = jnp.concatenate([new_maxd, mp_maxd], axis=0)
+    cand_ok = jnp.concatenate([any_good, mp_ok], axis=0)
+    fidx_b, fvalid_b = _fuse_body(
+        cand_pos, cand_desc, cand_maxd, cand_ok,
+        kf_Tcw, kf_K, kf_uv, kf_oct, kf_valid, kf_desc, kf_ok,
+        hw_h, hw_w, scale, n_levels, window_th,
+    )
+    return idx_b, good_b, pts_b, fidx_b, fvalid_b
+
+
 class LocalMapping:
     def __init__(self, store: MapStore, settings, kfdb=None, on_loop_closing=None):
         self.store = store
@@ -121,6 +178,15 @@ class LocalMapping:
         # default: the synchronous path is deterministic and is what the
         # tests gate on.
         self._async = False
+        # merged triangulate+fuse dispatch (one worker round trip per
+        # keyframe instead of two) is OPT-IN: it matches the two-phase
+        # path on healthy sequences (tests/test_mapping_fused.py) but
+        # regressed marginal-scenario robustness in a 3-seed circuit
+        # study (2/3 seeds lost a loop closure / tracking at the
+        # revisit; the map it builds is slightly weaker exactly where
+        # tracking margin is thinnest).  Re-evaluate after the
+        # divergence is characterized at the single-dispatch level.
+        self._merged_mapping = bool(os.environ.get("SWARMMAP_MERGED_MAPPING"))
         self._cv = threading.Condition()
         self._busy = False
         self._stop = False
@@ -239,11 +305,18 @@ class LocalMapping:
             # burst wipes the new map exactly when the tracker needs it
             with STATS.stage("lm_cull_mps"), st.lock:
                 self._cull_map_points(k)
-        with STATS.stage("lm_triangulate"):
-            self._create_new_map_points(k)
+        if self._merged_mapping and not backlogged:
+            # triangulate + fuse as one dispatch (ROADMAP perf #2);
+            # opt-in via SWARMMAP_MERGED_MAPPING=1 — see __init__
+            with STATS.stage("lm_tri_fuse"):
+                self._create_and_fuse(k)
+        else:
+            with STATS.stage("lm_triangulate"):
+                self._create_new_map_points(k)
+            if not backlogged:
+                with STATS.stage("lm_fuse"):
+                    self._fuse_neighbors(k)
         if not backlogged:
-            with STATS.stage("lm_fuse"):
-                self._fuse_neighbors(k)
             if st.kf_alive[: st.n_kf].sum() > 2:
                 with STATS.stage("lm_local_ba"):
                     self._local_ba(k)
@@ -269,10 +342,7 @@ class LocalMapping:
         dirty set is equivalent at keyframe granularity and removes a
         multi-second python loop per keyframe."""
         st = self.store
-        for m in list(st.dirty_mps):
-            if st.mp_alive[m]:
-                st.compute_distinctive_descriptor(m)
-                st.update_normal_and_depth(m, self.scale_factor, self.n_levels)
+        st.refresh_points(st.dirty_mps, self.scale_factor, self.n_levels)
         st.dirty_mps.clear()
 
     def _cull_map_points(self, k: int):
@@ -301,7 +371,7 @@ class LocalMapping:
             args = self._triangulate_assemble(k, n_neighbors)
         if args is None:
             return
-        kept_nb, dev_args = args
+        kept_nb, dev_args, _oct1 = args
         # dispatch + fetch run UNLOCKED (tracking interleaves in async mode)
         idx_b, good_b, pts_b = fetch(_batched_triangulate(*dev_args))
         idx_b, good_b, pts_b = np.asarray(idx_b), np.asarray(good_b), np.asarray(pts_b)
@@ -380,11 +450,11 @@ class LocalMapping:
             jnp.asarray(F12), jnp.asarray(P2), jnp.asarray(T2),
             jnp.asarray(c2), jnp.asarray(nb_ok),
         )
-        return kept_nb, dev_args
+        return kept_nb, dev_args, jnp.asarray(st.kf_kp_octave[k])
 
     def _triangulate_commit(self, k, kept_nb, idx_b, good_b, pts_b):
         st = self.store
-        created = 0
+        created: dict[int, int] = {}  # kp index of k -> new mp id
         claimed = np.zeros(st.n_kp, bool)  # first neighbor wins a keypoint
         for bi, k2 in kept_nb:
             good = good_b[bi] & ~claimed
@@ -396,12 +466,118 @@ class LocalMapping:
                 )
                 st.add_observation(mp, k, int(i))
                 st.add_observation(mp, k2, j)
-                st.update_normal_and_depth(mp, self.scale_factor, self.n_levels)
                 self.recent_mps.append(mp)
                 claimed[i] = True
-                created += 1
+                created[int(i)] = mp
         if created:
+            # one batched normal/depth pass over the new points (the
+            # fuse assembly needs mp_max_dist; descriptors are already
+            # the creating keypoint's and get their distinctive refresh
+            # in _refresh_dirty after fuse)
+            st.refresh_points(created.values(), self.scale_factor,
+                              self.n_levels, descriptors=False)
             st.update_connections(k)
+        return created
+
+    def _fuse_assemble(self, k: int, max_targets: int, cand_bucket: int,
+                       extra_targets=(), n_rows: int | None = None):
+        """Build the fuse dispatch inputs (call holding store.lock).
+
+        The shared candidate set is the union of all targets' points
+        (array gather; dedup keeps the FIRST occurrence so the strongest
+        targets' points survive the bucket cut).  extra_targets appends
+        additional keyframes (the merged program fuses into a SUPERSET of
+        rows and the commit filters to the post-triangulation ranking);
+        n_rows pads the row axis to a static size so jit caches stay
+        warm across the two call shapes."""
+        st = self.store
+        neighbors = st.covisible_kfs(k, max_targets - 1)
+        targets = [k] + neighbors
+        for t in extra_targets:
+            if t not in targets:
+                targets.append(t)
+        rows = st.kf_kp_mp[np.asarray(targets, np.int32)]
+        flat = rows[rows != NO_MP]
+        uniq, first = np.unique(flat, return_index=True)
+        cand = uniq[np.argsort(first)]
+        cand = cand[st.mp_alive[cand]]
+        slots = cand[:cand_bucket].astype(np.int32)
+        n = len(slots)
+        mp_pos = np.zeros((cand_bucket, 3), np.float32)
+        mp_desc = np.zeros((cand_bucket, 8), np.uint32)
+        mp_maxd = np.ones(cand_bucket, np.float32)
+        mp_ok = np.zeros(cand_bucket, bool)
+        mp_pos[:n] = st.mp_pos[slots]
+        mp_desc[:n] = st.mp_desc[slots]
+        mp_maxd[:n] = st.mp_max_dist[slots]
+        mp_ok[:n] = True
+
+        B = n_rows or max_targets
+        n_kp = st.n_kp
+        kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        kf_K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+        kf_uv = np.zeros((B, n_kp, 2), np.float32)
+        kf_oct = np.zeros((B, n_kp), np.int32)
+        kf_valid = np.zeros((B, n_kp), bool)
+        kf_desc = np.zeros((B, n_kp, 8), np.uint32)
+        kf_ok = np.zeros(B, bool)
+        for bi, tk in enumerate(targets[:B]):
+            kf_Tcw[bi] = st.kf_pose_cw[tk]
+            kf_K[bi] = st.kf_K[tk]
+            kf_uv[bi] = st.kf_kp_uv[tk]
+            kf_oct[bi] = st.kf_kp_octave[tk]
+            kf_valid[bi] = st.kf_kp_valid[tk]
+            kf_desc[bi] = st.kf_desc[tk]
+            kf_ok[bi] = True
+        hw = st.kf_hw[k]
+        dev = (
+            jnp.asarray(mp_pos), jnp.asarray(mp_desc), jnp.asarray(mp_maxd),
+            jnp.asarray(mp_ok),
+            jnp.asarray(kf_Tcw), jnp.asarray(kf_K), jnp.asarray(kf_uv),
+            jnp.asarray(kf_oct), jnp.asarray(kf_valid), jnp.asarray(kf_desc),
+            jnp.asarray(kf_ok),
+        )
+        return targets[:B], slots, n, dev, (float(hw[0]), float(hw[1]))
+
+    def _fuse_commit(self, k, targets, slots, n, idx_b, valid_b,
+                     n_new: int = 0, new_mp_of_kp: dict | None = None,
+                     rows=None):
+        """Apply fuse matches (call holding store.lock).  The merged
+        program prepends n_new new-point slots (keypoint-indexed into
+        new_mp_of_kp — points triangulated in the same dispatch that the
+        host just committed); existing points follow at qi - n_new.
+        rows maps each target to its dispatch row (the merged program
+        fuses a superset of rows; the commit walks only the
+        post-triangulation ranked targets, in rank order)."""
+        st = self.store
+        if rows is None:
+            rows = range(len(targets))
+        for bi, tk in zip(rows, targets):
+            if not st.kf_alive[tk]:
+                continue
+            for qi in np.where(valid_b[bi])[0]:
+                if qi < n_new:
+                    mp_new = (new_mp_of_kp.get(int(qi), NO_MP)
+                              if new_mp_of_kp is not None else NO_MP)
+                elif qi - n_new < n:
+                    mp_new = int(slots[qi - n_new])
+                else:
+                    mp_new = NO_MP
+                if mp_new == NO_MP or not st.mp_alive[mp_new]:
+                    continue
+                kp = int(idx_b[bi, qi])
+                mp_old = int(st.kf_kp_mp[tk, kp])
+                if mp_old != NO_MP and st.mp_alive[mp_old]:
+                    if mp_old == mp_new:
+                        continue
+                    if st.mp_nobs[mp_old] >= st.mp_nobs[mp_new]:
+                        st.replace_mp(mp_new, mp_old)
+                    else:
+                        st.replace_mp(mp_old, mp_new)
+                else:
+                    st.add_observation(mp_new, tk, kp)
+        self._refresh_dirty()
+        st.update_connections(k)
 
     def _fuse_neighbors(self, k: int, window_th: float = 3.0,
                         max_targets: int = 8, cand_bucket: int = 2048):
@@ -410,79 +586,66 @@ class LocalMapping:
         (reference: SearchInNeighbors + ORBmatcher::Fuse)."""
         st = self.store
         with st.lock:
-            neighbors = st.covisible_kfs(k, max_targets - 1)
-            targets = [k] + neighbors
-        # shared candidate set: union of all targets' points (array
-        # gather; dedup keeps the FIRST occurrence so the strongest
-        # targets' points survive the bucket cut)
-            rows = st.kf_kp_mp[np.asarray(targets, np.int32)]
-            flat = rows[rows != NO_MP]
-            uniq, first = np.unique(flat, return_index=True)
-            cand = uniq[np.argsort(first)]
-            cand = cand[st.mp_alive[cand]]
-            if not len(cand):
-                return
-            slots = cand[:cand_bucket].astype(np.int32)
-            n = len(slots)
-            mp_pos = np.zeros((cand_bucket, 3), np.float32)
-            mp_desc = np.zeros((cand_bucket, 8), np.uint32)
-            mp_maxd = np.ones(cand_bucket, np.float32)
-            mp_ok = np.zeros(cand_bucket, bool)
-            mp_pos[:n] = st.mp_pos[slots]
-            mp_desc[:n] = st.mp_desc[slots]
-            mp_maxd[:n] = st.mp_max_dist[slots]
-            mp_ok[:n] = True
-
-            B = max_targets
-            n_kp = st.n_kp
-            kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
-            kf_K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
-            kf_uv = np.zeros((B, n_kp, 2), np.float32)
-            kf_oct = np.zeros((B, n_kp), np.int32)
-            kf_valid = np.zeros((B, n_kp), bool)
-            kf_desc = np.zeros((B, n_kp, 8), np.uint32)
-            kf_ok = np.zeros(B, bool)
-            for bi, tk in enumerate(targets[:B]):
-                kf_Tcw[bi] = st.kf_pose_cw[tk]
-                kf_K[bi] = st.kf_K[tk]
-                kf_uv[bi] = st.kf_kp_uv[tk]
-                kf_oct[bi] = st.kf_kp_octave[tk]
-                kf_valid[bi] = st.kf_kp_valid[tk]
-                kf_desc[bi] = st.kf_desc[tk]
-                kf_ok[bi] = True
-            hw = st.kf_hw[k]
+            targets, slots, n, dev, hw = self._fuse_assemble(
+                k, max_targets, cand_bucket)
+        if n == 0:
+            return
         # dispatch + fetch UNLOCKED
         idx_b, valid_b = fetch(_batched_fuse_match(
-            jnp.asarray(mp_pos), jnp.asarray(mp_desc), jnp.asarray(mp_maxd),
-            jnp.asarray(mp_ok),
-            jnp.asarray(kf_Tcw), jnp.asarray(kf_K), jnp.asarray(kf_uv),
-            jnp.asarray(kf_oct), jnp.asarray(kf_valid), jnp.asarray(kf_desc),
-            jnp.asarray(kf_ok),
-            float(hw[0]), float(hw[1]), self.scale_factor, self.n_levels,
-            window_th,
+            *dev, hw[0], hw[1], self.scale_factor, self.n_levels, window_th,
         ))
         idx_b, valid_b = np.asarray(idx_b), np.asarray(valid_b)
         with st.lock:
-            for bi, tk in enumerate(targets[:B]):
-                if not st.kf_alive[tk]:
-                    continue
-                for qi in np.where(valid_b[bi])[0]:
-                    mp_new = int(slots[qi]) if qi < n else NO_MP
-                    if mp_new == NO_MP or not st.mp_alive[mp_new]:
-                        continue
-                    kp = int(idx_b[bi, qi])
-                    mp_old = int(st.kf_kp_mp[tk, kp])
-                    if mp_old != NO_MP and st.mp_alive[mp_old]:
-                        if mp_old == mp_new:
-                            continue
-                        if st.mp_nobs[mp_old] >= st.mp_nobs[mp_new]:
-                            st.replace_mp(mp_new, mp_old)
-                        else:
-                            st.replace_mp(mp_old, mp_new)
-                    else:
-                        st.add_observation(mp_new, tk, kp)
-            self._refresh_dirty()
-            st.update_connections(k)
+            self._fuse_commit(k, targets, slots, n, idx_b, valid_b)
+
+    def _create_and_fuse(self, k: int, n_neighbors: int = 8,
+                         window_th: float = 3.0, max_targets: int = 8,
+                         cand_bucket: int = 2048):
+        """Triangulate + fuse in ONE device round trip (ROADMAP perf #2).
+
+        Assembles both phases' inputs under one lock window, dispatches
+        the merged program, then commits triangulation first (so the
+        fuse commit can resolve the new points' freshly assigned ids).
+
+        The reference ranks fuse targets AFTER CreateNewMapPoints
+        (SearchInNeighbors walks the refreshed covisibility graph,
+        LocalMapping.cc:70-76) — but the merged program must pick its
+        rows before the new points exist.  Triangulation only ADDS
+        weight to edges toward its partner keyframes, so the post-commit
+        top-(max_targets-1) is always a subset of
+        {pre-commit top-(max_targets-1)} ∪ {triangulation partners}:
+        the device fuses into that superset of rows and the host commit
+        filters to the post-commit ranking."""
+        st = self.store
+        with st.lock:
+            tri = self._triangulate_assemble(k, n_neighbors)
+            fuse = (self._fuse_assemble(
+                k, max_targets, cand_bucket,
+                extra_targets=[k2 for _, k2 in tri[0]],
+                n_rows=max_targets + n_neighbors,
+            ) if tri is not None else None)
+        if tri is None:
+            # no triangulation partners: plain fuse still applies
+            self._fuse_neighbors(k, window_th, max_targets, cand_bucket)
+            return
+        kept_nb, dev_args, oct1 = tri
+        targets, slots, n, fuse_dev, hw = fuse
+        # dispatch + fetch UNLOCKED
+        out = fetch(_batched_triangulate_then_fuse(
+            *dev_args, oct1, *fuse_dev,
+            hw[0], hw[1], self.scale_factor, self.n_levels, window_th,
+        ))
+        idx_b, good_b, pts_b, fidx_b, fvalid_b = (np.asarray(x) for x in out)
+        with st.lock:
+            new_mp_of_kp = self._triangulate_commit(
+                k, kept_nb, idx_b, good_b, pts_b)
+            row_of = {tk: bi for bi, tk in enumerate(targets)}
+            commit_targets = [k] + st.covisible_kfs(k, max_targets - 1)
+            pairs = [(row_of[tk], tk) for tk in commit_targets
+                     if tk in row_of]
+            self._fuse_commit(
+                k, [tk for _, tk in pairs], slots, n, fidx_b, fvalid_b,
+                st.n_kp, new_mp_of_kp, rows=[bi for bi, _ in pairs])
 
     # ------------------------------------------------------------------
     def _local_ba(self, k: int, max_cams: int = 16, max_pts: int = 4096,

@@ -592,13 +592,98 @@ class MapStore:
         if not entries:
             return
         D = np.stack(entries).astype(np.uint32)
-        x = np.unpackbits(
-            np.bitwise_xor(D[:, None, :], D[None, :, :]).view(np.uint8), axis=-1
-        ).sum(-1)
+        x = self._pairwise_hamming(D)
         best = int(np.median(x, axis=1).argmin())
         self.mp_desc[m] = D[best]
         self._emit("mp", "ComputeDistinctiveDescriptors", int(self.mp_gid[m]),
                    (D[best].copy(),), log)
+
+    _POPCOUNT8 = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.uint16)
+
+    if hasattr(np, "bitwise_count"):
+        @staticmethod
+        def _pairwise_hamming(D: np.ndarray) -> np.ndarray:
+            return np.bitwise_count(
+                np.bitwise_xor(D[:, None, :], D[None, :, :])).sum(-1)
+    else:
+        def _pairwise_hamming(self, D: np.ndarray) -> np.ndarray:
+            return self._POPCOUNT8[np.bitwise_xor(
+                D[:, None, :], D[None, :, :]).view(np.uint8)].sum(-1)
+
+    def refresh_points(self, ms, scale_factor: float = 1.2,
+                       n_levels: int = 8, log: bool = True,
+                       descriptors: bool = True):
+        """Batched ComputeDistinctiveDescriptors + UpdateNormalAndDepth
+        over a dirty set (reference recomputes per mutation inline,
+        MapPoint.cc; per-keyframe batching is behaviorally equivalent).
+
+        Replaces the per-point python walks: normals come from one
+        gather over the live observation arrays + a segment mean, and
+        the descriptor medians use a uint8 popcount LUT with an exact
+        nobs<=2 fast path (argmin of the row medians of a 2x2 distance
+        matrix is always the first row)."""
+        ms = [int(m) for m in ms
+              if self.mp_alive[m] and self.obs.get(m)]
+        if not ms:
+            return
+        n_kf = self.n_kf
+        R = self.kf_pose_cw[:n_kf, :3, :3]
+        t = self.kf_pose_cw[:n_kf, :3, 3]
+        centers = -np.einsum("kji,kj->ki", R, t)  # -R^T t per keyframe
+        idx_of = {m: i for i, m in enumerate(ms)}
+        om, okf, _ = self.obs_arrays()
+        sel = np.isin(om, np.asarray(ms))
+        om_s, okf_s = om[sel], okf[sel]
+        rows = np.fromiter((idx_of[int(m)] for m in om_s), np.int64,
+                           count=len(om_s))
+        v = self.mp_pos[om_s].astype(np.float64) - centers[okf_s]
+        nv = np.linalg.norm(v, axis=1)
+        good = nv > 1e-9
+        u = np.zeros_like(v)
+        u[good] = v[good] / nv[good, None]
+        nsum = np.zeros((len(ms), 3))
+        ncnt = np.zeros(len(ms))
+        np.add.at(nsum, rows[good], u[good])
+        np.add.at(ncnt, rows[good], 1.0)
+        # ref keyframe (fallback: first observer) for depth/octave
+        refs = np.empty(len(ms), np.int64)
+        kp_ref = np.empty(len(ms), np.int64)
+        for i, m in enumerate(ms):
+            ob = self.obs[m]
+            r = int(self.mp_ref_kf[m])
+            if r not in ob or not self.kf_alive[r]:
+                r = next(iter(ob))
+            refs[i] = r
+            kp_ref[i] = ob[r]
+        dist = np.linalg.norm(
+            self.mp_pos[ms].astype(np.float64) - centers[refs], axis=1)
+        level = self.kf_kp_octave[refs, kp_ref]
+        maxd = dist * np.power(float(scale_factor), level.astype(np.float64))
+        mind = maxd / scale_factor ** (n_levels - 1)
+        for i, m in enumerate(ms):
+            # descriptor: median-distance minimizer among live observers
+            entries = ([self.kf_desc[k, kp] for k, kp in self.obs[m].items()
+                        if self.kf_alive[k]] if descriptors else None)
+            if entries:
+                if len(entries) <= 2:
+                    best_desc = entries[0]
+                else:
+                    D = np.stack(entries).astype(np.uint32)
+                    x = self._pairwise_hamming(D)
+                    best_desc = D[int(np.median(x, axis=1).argmin())]
+                self.mp_desc[m] = best_desc
+                self._emit("mp", "ComputeDistinctiveDescriptors",
+                           int(self.mp_gid[m]), (self.mp_desc[m].copy(),), log)
+            if ncnt[i] > 0:
+                n = nsum[i] / ncnt[i]
+                self.mp_normal[m] = n / max(np.linalg.norm(n), 1e-9)
+                self.mp_max_dist[m] = maxd[i]
+                self.mp_min_dist[m] = mind[i]
+                self._emit("mp", "UpdateNormalAndDepth", int(self.mp_gid[m]),
+                           (self.mp_normal[m].copy(),
+                            float(self.mp_min_dist[m]),
+                            float(self.mp_max_dist[m])), log)
 
     def update_normal_and_depth(self, m: int, scale_factor: float = 1.2,
                                 n_levels: int = 8, log: bool = True):

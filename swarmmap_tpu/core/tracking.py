@@ -545,6 +545,27 @@ class Tracking:
         if ok:
             ok = self._track_local_map(frame)
 
+        if (not ok and self.state == TrackingState.OK
+                and self.grace < self.p.recently_lost_frames
+                and self.velocity is not None
+                and self.last_frame is not None
+                and self.last_frame.pose_cw is not None):
+            # RECENTLY_LOST re-acquisition: when the per-frame stages
+            # fail, last_frame.mp has collapsed, so the motion model has
+            # nothing to match against on the NEXT frame either — the
+            # grace window would just dead-reckon into a death spiral
+            # even while the camera is still over mapped terrain.
+            # Window-match the reference keyframe neighborhood's points
+            # around the predicted pose instead (wide window), then run
+            # the normal local-map stage (reference: RECENTLY_LOST
+            # re-enters TrackLocalMap once any stage produces a pose).
+            if not pose_acquired or frame.pose_cw is None:
+                frame.pose_cw = self.velocity @ self.last_frame.pose_cw
+            ok = self._grace_reacquire(frame)
+            if ok:
+                _log.info("grace re-acquired tracking at frame %d: "
+                          "inliers=%d", frame.frame_id, self.matches_inliers)
+
         if ok:
             self.state = TrackingState.OK
             self.lost_count = 0
@@ -772,6 +793,35 @@ class Tracking:
         st.increase_found(tracked, log=False)
         return n_inl >= self.p.min_inliers_local
 
+    def _grace_reacquire(self, frame: Frame) -> bool:
+        """RECENTLY_LOST recovery: match the reference keyframe
+        neighborhood's map points around the predicted pose with a wide
+        window, then run the normal local-map stage.  The per-frame
+        stages can't do this themselves once last_frame.mp collapses
+        (motion model) and the view drifts from the reference keyframe
+        (BoW): this is the monocular equivalent of the reference's
+        RECENTLY_LOST hold-and-retry (Tracking.cc state machine)."""
+        if self.ref_kf < 0 or frame.pose_cw is None:
+            return False
+        st = self.store
+        ks = [self.ref_kf] + st.covisible_kfs(self.ref_kf, 7)
+        rows = st.kf_kp_mp[np.asarray(ks, np.int32)]
+        raw = np.unique(rows[rows != NO_MP])
+        raw = raw[st.mp_alive[raw]]
+        if len(raw) < 20:
+            return False
+        slots, kp_idx, valid, _vis = self._match_against_mps(
+            frame, raw.astype(np.int32), frame.pose_cw,
+            3 * self.p.motion_window_th,
+        )
+        frame.mp[:] = NO_MP
+        frame.mp[kp_idx[valid]] = slots[valid]
+        if valid.sum() < 20:
+            return False
+        if self._pose_opt_frame(frame) < self.p.min_inliers_motion:
+            return False
+        return self._track_local_map(frame)
+
     def _relocalize(self, frame: Frame) -> bool:
         st = self.store
         frame.compute_bow(self.vocab)
@@ -880,13 +930,16 @@ class Tracking:
             sel = idx[order]
             if len(sel):
                 pts = self._backproject(frame, sel)
+                seeded = []
                 for i, kp in enumerate(sel):
                     mp = st.add_map_point(pts[i], frame.desc[kp], ref_kf=k)
                     st.add_observation(mp, k, int(kp))
-                    st.update_normal_and_depth(mp, self.scale_factor, self.n_levels)
                     frame.mp[kp] = mp
+                    seeded.append(mp)
                     if self.local_mapping is not None:
                         self.local_mapping.recent_mps.append(mp)
+                st.refresh_points(seeded, self.scale_factor, self.n_levels,
+                                  descriptors=False)
                 st.update_connections(k)
         self.last_kf_frame_id = frame.frame_id
         self.ref_kf = k

@@ -24,10 +24,18 @@ import numpy as np
 _POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
 
 
-def _np_popcount_rows(x: np.ndarray) -> np.ndarray:
-    """[..,8] u32 -> [..] bit count (byte LUT: 8x less scratch than
-    unpackbits, which matters when clustering 10^5 descriptors)."""
-    return _POPCOUNT_LUT[x.view(np.uint8)].sum(-1, dtype=np.int32)
+if hasattr(np, "bitwise_count"):  # numpy >= 2.0: hardware popcnt ufunc
+
+    def _np_popcount_rows(x: np.ndarray) -> np.ndarray:
+        """[..,8] u32 -> [..] bit count (4x the byte-LUT gather)."""
+        return np.bitwise_count(x).sum(-1, dtype=np.int32)
+
+else:
+
+    def _np_popcount_rows(x: np.ndarray) -> np.ndarray:
+        """[..,8] u32 -> [..] bit count (byte LUT: 8x less scratch than
+        unpackbits, which matters when clustering 10^5 descriptors)."""
+        return _POPCOUNT_LUT[x.view(np.uint8)].sum(-1, dtype=np.int32)
 
 
 def _np_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -116,6 +116,46 @@ def test_batch_empty_and_all_invalid():
     assert st.covis.get(k, {}) == {}
 
 
+def test_refresh_points_matches_sequential():
+    """Batched refresh_points == per-point compute_distinctive_descriptor
+    + update_normal_and_depth (modulo float summation order in the
+    normal mean)."""
+    st_a, st_b = _store(None), _store(None)
+    dirty = [m for m in range(st_a.n_mp) if st_a.mp_alive[m]]
+    for m in dirty:
+        st_a.compute_distinctive_descriptor(m)
+        st_a.update_normal_and_depth(m, 1.2, 8)
+    st_b.refresh_points(dirty, 1.2, 8)
+    np.testing.assert_array_equal(st_a.mp_desc[: st_a.n_mp],
+                                  st_b.mp_desc[: st_b.n_mp])
+    np.testing.assert_allclose(st_a.mp_normal[: st_a.n_mp],
+                               st_b.mp_normal[: st_b.n_mp], atol=1e-6)
+    np.testing.assert_allclose(st_a.mp_max_dist[: st_a.n_mp],
+                               st_b.mp_max_dist[: st_b.n_mp], rtol=1e-6)
+    np.testing.assert_allclose(st_a.mp_min_dist[: st_a.n_mp],
+                               st_b.mp_min_dist[: st_b.n_mp], rtol=1e-6)
+
+
+def test_refresh_points_descriptor_median_path():
+    """n>=3 observers: the LUT popcount median matches the reference
+    median-of-hamming rule (spot-check against the sequential impl)."""
+    st = _store(None)
+    rng = np.random.RandomState(1)
+    # give point 8 four observers with distinct descriptors
+    m = 8
+    for k in range(3):
+        if k not in st.obs[m]:
+            st.add_observation(m, k, int(rng.choice(64)))
+    st2 = _store(None)
+    for k in range(3):
+        if k not in st2.obs[m]:
+            st2.add_observation(m, k, st.obs[m][k])
+    assert len(st.obs[m]) >= 3
+    st.compute_distinctive_descriptor(m)
+    st2.refresh_points([m])
+    np.testing.assert_array_equal(st.mp_desc[m], st2.mp_desc[m])
+
+
 def test_batch_grows_obs_capacity():
     st = _store(None)
     kf_args = dict(
