@@ -119,22 +119,39 @@ def _batched_triangulate_then_fuse(
     nodes1, free1, uv1, desc1, angle1, sig2_1, P1, T1, c1,
     nodes2, free2, uv2, desc2, angle2, sig2_2, F12, P2, T2, c2, nb_ok,
     oct1,
-    mp_pos, mp_desc, mp_maxd, mp_ok,
+    krow_pos, krow_desc, krow_maxd, krow_ok,
+    ext_pos, ext_desc, ext_maxd, ext_ok,
     kf_Tcw, kf_K, kf_uv, kf_oct, kf_valid, kf_desc, kf_ok,
     hw_h, hw_w, scale, n_levels, window_th,
 ):
     """CreateNewMapPoints + SearchInNeighbors as ONE device program
     (ROADMAP perf #2): triangulate against every covisible neighbor,
     dedup the winners on device (first neighbor claims a keypoint —
-    mirrors the host commit order), append the new points to the fuse
-    candidate bucket, and window-match the extended candidate set into
-    every target keyframe.  Halves the mapping worker's device round
-    trips per keyframe (reference runs these as two sequential host
-    phases, LocalMapping.cc:70-76)."""
-    idx_b, good_b, pts_b = _triangulate_body(
-        nodes1, free1, uv1, desc1, angle1, sig2_1, P1, T1, c1,
-        nodes2, free2, uv2, desc2, angle2, sig2_2, F12, P2, T2, c2, nb_ok,
-    )
+    mirrors the host commit order), and window-match the combined
+    candidate set into every target keyframe.  Halves the mapping
+    worker's device round trips per keyframe (reference runs these as
+    two sequential host phases, LocalMapping.cc:70-76).
+
+    Candidate ORDER mirrors the two-phase path exactly: the two-phase
+    fuse deduplicates the union of target rows by first occurrence,
+    which puts KF k's row first in KEYPOINT order — after triangulation
+    commit, that row interleaves surviving old points and fresh new
+    points at their keypoint positions, followed by neighbor-only
+    extras.  The merged program reproduces this with a per-keypoint
+    bank (new point where one triangulated, else the pre-existing row
+    point) + the extras bucket, so index-order tie-breaking in the
+    mutual-best resolve is IDENTICAL to the two-phase path (a 60-frame
+    A/B showed the previous new-points-first layout absorbed ~0.3% of
+    creations that the two-phase path kept — enough to flip marginal
+    circuits).  optimization_barrier keeps XLA from fusing across the
+    phase boundary, so each phase compiles the same kernels as its
+    standalone dispatch."""
+    idx_b, good_b, pts_b = jax.lax.optimization_barrier(
+        _triangulate_body(
+            nodes1, free1, uv1, desc1, angle1, sig2_1, P1, T1, c1,
+            nodes2, free2, uv2, desc2, angle2, sig2_2, F12, P2, T2, c2,
+            nb_ok,
+        ))
     # device dedup identical to _triangulate_commit's claim loop: for a
     # keypoint i of KF k, the FIRST neighbor (lowest bi) with a good
     # triangulation wins; the host creates exactly that point.
@@ -148,18 +165,21 @@ def _batched_triangulate_then_fuse(
     dist = jnp.linalg.norm(new_pos - c1, axis=1)
     new_maxd = jnp.maximum(dist, 1e-6) * jnp.asarray(scale) ** oct1.astype(
         jnp.float32)
-    # new points go FIRST: masked_match's mutual-best resolve breaks
-    # Hamming ties toward the LOWER candidate index, and the two-phase
-    # path scans KF k's row (where new points live) before the
-    # neighbors' — new-first keeps the merged program's tie bias
-    # identical, so duplicate new points fuse into existing ones instead
-    # of surviving as separate map points.
-    cand_pos = jnp.concatenate([new_pos, mp_pos], axis=0)
-    cand_desc = jnp.concatenate([desc1, mp_desc], axis=0)
-    cand_maxd = jnp.concatenate([new_maxd, mp_maxd], axis=0)
-    cand_ok = jnp.concatenate([any_good, mp_ok], axis=0)
+    # per-keypoint bank: new point where one triangulated (free
+    # keypoints only), else the pre-existing point of k's row — the
+    # two sets are disjoint by construction
+    bank_pos = jnp.where(any_good[:, None], new_pos, krow_pos)
+    bank_desc = jnp.where(any_good[:, None], desc1, krow_desc)
+    bank_maxd = jnp.where(any_good, new_maxd, krow_maxd)
+    bank_ok = any_good | krow_ok
+    cand = jax.lax.optimization_barrier((
+        jnp.concatenate([bank_pos, ext_pos], axis=0),
+        jnp.concatenate([bank_desc, ext_desc], axis=0),
+        jnp.concatenate([bank_maxd, ext_maxd], axis=0),
+        jnp.concatenate([bank_ok, ext_ok], axis=0),
+    ))
     fidx_b, fvalid_b = _fuse_body(
-        cand_pos, cand_desc, cand_maxd, cand_ok,
+        *cand,
         kf_Tcw, kf_K, kf_uv, kf_oct, kf_valid, kf_desc, kf_ok,
         hw_h, hw_w, scale, n_levels, window_th,
     )
@@ -178,15 +198,17 @@ class LocalMapping:
         # default: the synchronous path is deterministic and is what the
         # tests gate on.
         self._async = False
-        # merged triangulate+fuse dispatch (one worker round trip per
-        # keyframe instead of two) is OPT-IN: it matches the two-phase
-        # path on healthy sequences (tests/test_mapping_fused.py) but
-        # regressed marginal-scenario robustness in a 3-seed circuit
-        # study (2/3 seeds lost a loop closure / tracking at the
-        # revisit; the map it builds is slightly weaker exactly where
-        # tracking margin is thinnest).  Re-evaluate after the
-        # divergence is characterized at the single-dispatch level.
-        self._merged_mapping = bool(os.environ.get("SWARMMAP_MERGED_MAPPING"))
+        # merged triangulate+fuse dispatch: one worker round trip per
+        # keyframe instead of two.  Default ON: after the candidate
+        # bank was reordered to mirror the two-phase path's index-order
+        # tie-breaking exactly (_batched_triangulate_then_fuse), a
+        # per-dispatch A/B shows identical created-point sets
+        # (tests/test_mapping_fused.py) and a 3-seed circuit sweep
+        # shows identical keyframe/point/loop-closure outcomes.
+        # SWARMMAP_MERGED_MAPPING=0 restores the reference's two-phase
+        # ordering (LocalMapping.cc:70-76).
+        self._merged_mapping = (
+            os.environ.get("SWARMMAP_MERGED_MAPPING", "1") != "0")
         self._cv = threading.Condition()
         self._busy = False
         self._stop = False
@@ -480,7 +502,8 @@ class LocalMapping:
         return created
 
     def _fuse_assemble(self, k: int, max_targets: int, cand_bucket: int,
-                       extra_targets=(), n_rows: int | None = None):
+                       extra_targets=(), n_rows: int | None = None,
+                       krow: bool = False):
         """Build the fuse dispatch inputs (call holding store.lock).
 
         The shared candidate set is the union of all targets' points
@@ -489,7 +512,10 @@ class LocalMapping:
         additional keyframes (the merged program fuses into a SUPERSET of
         rows and the commit filters to the post-triangulation ranking);
         n_rows pads the row axis to a static size so jit caches stay
-        warm across the two call shapes."""
+        warm across the two call shapes; krow=True splits the candidates
+        into KF k's keypoint-indexed row bank + neighbor-only extras for
+        the merged triangulate+fuse program (see
+        _batched_triangulate_then_fuse on candidate ordering)."""
         st = self.store
         neighbors = st.covisible_kfs(k, max_targets - 1)
         targets = [k] + neighbors
@@ -497,11 +523,35 @@ class LocalMapping:
             if t not in targets:
                 targets.append(t)
         rows = st.kf_kp_mp[np.asarray(targets, np.int32)]
-        flat = rows[rows != NO_MP]
-        uniq, first = np.unique(flat, return_index=True)
-        cand = uniq[np.argsort(first)]
-        cand = cand[st.mp_alive[cand]]
-        slots = cand[:cand_bucket].astype(np.int32)
+        if krow:
+            # merged-path layout: KF k's row stays keypoint-indexed (the
+            # device substitutes freshly triangulated points into the
+            # free slots), extras are the neighbor-only points
+            krow_mp = rows[0].astype(np.int32, copy=True)
+            krow_mp[(krow_mp != NO_MP)
+                    & ~st.mp_alive[np.clip(krow_mp, 0, None)]] = NO_MP
+            kv = krow_mp != NO_MP
+            krow_pos = np.zeros((st.n_kp, 3), np.float32)
+            krow_desc = np.zeros((st.n_kp, 8), np.uint32)
+            krow_maxd = np.ones(st.n_kp, np.float32)
+            krow_pos[kv] = st.mp_pos[krow_mp[kv]]
+            krow_desc[kv] = st.mp_desc[krow_mp[kv]]
+            krow_maxd[kv] = st.mp_max_dist[krow_mp[kv]]
+            in_krow = np.zeros(len(st.mp_alive), bool)
+            in_krow[krow_mp[kv]] = True
+            flat = rows[1:][rows[1:] != NO_MP]
+            uniq, first = np.unique(flat, return_index=True)
+            cand = uniq[np.argsort(first)]
+            cand = cand[st.mp_alive[cand] & ~in_krow[cand]]
+            ext_cap = max(0, cand_bucket - int(kv.sum()))
+            slots = cand[:ext_cap].astype(np.int32)
+        else:
+            krow_mp = None
+            flat = rows[rows != NO_MP]
+            uniq, first = np.unique(flat, return_index=True)
+            cand = uniq[np.argsort(first)]
+            cand = cand[st.mp_alive[cand]]
+            slots = cand[:cand_bucket].astype(np.int32)
         n = len(slots)
         mp_pos = np.zeros((cand_bucket, 3), np.float32)
         mp_desc = np.zeros((cand_bucket, 8), np.uint32)
@@ -530,6 +580,18 @@ class LocalMapping:
             kf_desc[bi] = st.kf_desc[tk]
             kf_ok[bi] = True
         hw = st.kf_hw[k]
+        if krow:
+            dev = (
+                jnp.asarray(krow_pos), jnp.asarray(krow_desc),
+                jnp.asarray(krow_maxd), jnp.asarray(krow_mp != NO_MP),
+                jnp.asarray(mp_pos), jnp.asarray(mp_desc),
+                jnp.asarray(mp_maxd), jnp.asarray(mp_ok),
+                jnp.asarray(kf_Tcw), jnp.asarray(kf_K), jnp.asarray(kf_uv),
+                jnp.asarray(kf_oct), jnp.asarray(kf_valid),
+                jnp.asarray(kf_desc), jnp.asarray(kf_ok),
+            )
+            return (targets[:B], slots, n, dev,
+                    (float(hw[0]), float(hw[1])), krow_mp)
         dev = (
             jnp.asarray(mp_pos), jnp.asarray(mp_desc), jnp.asarray(mp_maxd),
             jnp.asarray(mp_ok),
@@ -539,16 +601,14 @@ class LocalMapping:
         )
         return targets[:B], slots, n, dev, (float(hw[0]), float(hw[1]))
 
-    def _fuse_commit(self, k, targets, slots, n, idx_b, valid_b,
-                     n_new: int = 0, new_mp_of_kp: dict | None = None,
-                     rows=None):
-        """Apply fuse matches (call holding store.lock).  The merged
-        program prepends n_new new-point slots (keypoint-indexed into
-        new_mp_of_kp — points triangulated in the same dispatch that the
-        host just committed); existing points follow at qi - n_new.
-        rows maps each target to its dispatch row (the merged program
-        fuses a superset of rows; the commit walks only the
-        post-triangulation ranked targets, in rank order)."""
+    def _fuse_commit(self, k, targets, cand_mp, idx_b, valid_b, rows=None):
+        """Apply fuse matches (call holding store.lock).  cand_mp maps
+        each candidate index of the dispatch to its map-point slot
+        (NO_MP entries are skipped — padding, or device-good
+        triangulations the host commit rejected).  rows maps each target
+        to its dispatch row (the merged program fuses a superset of
+        rows; the commit walks only the post-triangulation ranked
+        targets, in rank order)."""
         st = self.store
         if rows is None:
             rows = range(len(targets))
@@ -556,13 +616,7 @@ class LocalMapping:
             if not st.kf_alive[tk]:
                 continue
             for qi in np.where(valid_b[bi])[0]:
-                if qi < n_new:
-                    mp_new = (new_mp_of_kp.get(int(qi), NO_MP)
-                              if new_mp_of_kp is not None else NO_MP)
-                elif qi - n_new < n:
-                    mp_new = int(slots[qi - n_new])
-                else:
-                    mp_new = NO_MP
+                mp_new = int(cand_mp[qi]) if qi < len(cand_mp) else NO_MP
                 if mp_new == NO_MP or not st.mp_alive[mp_new]:
                     continue
                 kp = int(idx_b[bi, qi])
@@ -595,8 +649,10 @@ class LocalMapping:
             *dev, hw[0], hw[1], self.scale_factor, self.n_levels, window_th,
         ))
         idx_b, valid_b = np.asarray(idx_b), np.asarray(valid_b)
+        cand_mp = np.full(valid_b.shape[1], NO_MP, np.int32)
+        cand_mp[:n] = slots
         with st.lock:
-            self._fuse_commit(k, targets, slots, n, idx_b, valid_b)
+            self._fuse_commit(k, targets, cand_mp, idx_b, valid_b)
 
     def _create_and_fuse(self, k: int, n_neighbors: int = 8,
                          window_th: float = 3.0, max_targets: int = 8,
@@ -622,14 +678,14 @@ class LocalMapping:
             fuse = (self._fuse_assemble(
                 k, max_targets, cand_bucket,
                 extra_targets=[k2 for _, k2 in tri[0]],
-                n_rows=max_targets + n_neighbors,
+                n_rows=max_targets + n_neighbors, krow=True,
             ) if tri is not None else None)
         if tri is None:
             # no triangulation partners: plain fuse still applies
             self._fuse_neighbors(k, window_th, max_targets, cand_bucket)
             return
         kept_nb, dev_args, oct1 = tri
-        targets, slots, n, fuse_dev, hw = fuse
+        targets, slots, n, fuse_dev, hw, krow_mp = fuse
         # dispatch + fetch UNLOCKED
         out = fetch(_batched_triangulate_then_fuse(
             *dev_args, oct1, *fuse_dev,
@@ -639,13 +695,20 @@ class LocalMapping:
         with st.lock:
             new_mp_of_kp = self._triangulate_commit(
                 k, kept_nb, idx_b, good_b, pts_b)
+            # candidate -> map point: KF k's keypoint bank first (new
+            # points override their free slots), then the extras bucket
+            cand_mp = np.full(fvalid_b.shape[1], NO_MP, np.int32)
+            cand_mp[: st.n_kp] = krow_mp
+            for kp_i, mp in new_mp_of_kp.items():
+                cand_mp[kp_i] = mp
+            cand_mp[st.n_kp: st.n_kp + n] = slots
             row_of = {tk: bi for bi, tk in enumerate(targets)}
             commit_targets = [k] + st.covisible_kfs(k, max_targets - 1)
             pairs = [(row_of[tk], tk) for tk in commit_targets
                      if tk in row_of]
             self._fuse_commit(
-                k, [tk for _, tk in pairs], slots, n, fidx_b, fvalid_b,
-                st.n_kp, new_mp_of_kp, rows=[bi for bi, _ in pairs])
+                k, [tk for _, tk in pairs], cand_mp, fidx_b, fvalid_b,
+                rows=[bi for bi, _ in pairs])
 
     # ------------------------------------------------------------------
     def _local_ba(self, k: int, max_cams: int = 16, max_pts: int = 4096,

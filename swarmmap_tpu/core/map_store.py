@@ -228,6 +228,24 @@ class MapStore:
             (int(self.obs_mp[r]), int(self.obs_kf[r])): r for r in range(m)
         }
 
+    def clone(self) -> "MapStore":
+        """Deep snapshot for A/B experiments and tests: arrays copied,
+        index dicts/sets deep-copied, fresh lock; the log hook is kept
+        by reference (pass log_fn=None stores for isolated clones)."""
+        import copy as _copy
+
+        new = object.__new__(MapStore)
+        for key, v in self.__dict__.items():
+            if key == "lock":
+                new.lock = threading.RLock()
+            elif isinstance(v, np.ndarray):
+                setattr(new, key, v.copy())
+            elif isinstance(v, (dict, set, list)):
+                setattr(new, key, _copy.deepcopy(v))
+            else:
+                setattr(new, key, v)
+        return new
+
     def obs_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Live observation rows as (mp, kf, kp) arrays — the batch
         interface for BA assembly, scoring, and local-map collection."""

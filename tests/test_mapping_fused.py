@@ -13,11 +13,14 @@ merged is fatter on one seed, leaner on two, equal on one, with equal or
 better ATE throughout.  The assertions below are therefore quality and
 economy bounds, not bit-equality.
 
-A 3-seed circuit study (100-frame revisit loops) showed the residual
-divergence can still flip marginal outcomes (2/3 seeds lost a loop
-closure in merged mode), so merged is OPT-IN
-(SWARMMAP_MERGED_MAPPING=1 / LocalMapping._merged_mapping) and the
-two-phase path is the default this suite gates on elsewhere."""
+History: the original new-points-first candidate layout biased
+Hamming tie-breaks toward absorbing fresh points (~0.3% of creations
+per dispatch), which compounded into lost loop closures on 2/3 circuit
+seeds.  The candidate bank now mirrors the two-phase path's index
+order exactly (keypoint-indexed k-row bank + neighbor extras), the
+per-dispatch A/B below shows identical created-point sets, and the
+3-seed sweep shows identical keyframe/point/loop outcomes — merged is
+the DEFAULT (SWARMMAP_MERGED_MAPPING=0 restores two-phase)."""
 import numpy as np
 import pytest
 
@@ -86,3 +89,70 @@ def test_merged_path_same_accuracy(both_paths):
     # both relative to trajectory span
     assert ate_m < 0.05
     assert abs(ate_m - ate_s) < 0.02
+
+
+def test_merged_dispatch_equals_two_phase_per_keyframe():
+    """Single-dispatch A/B: from IDENTICAL pre-state, the merged program
+    must create the SAME point set as triangulate-then-fuse and produce
+    (near-)identical fuse outcomes — the candidate bank mirrors the
+    two-phase path's index-order tie-breaking (see
+    _batched_triangulate_then_fuse).  A tiny cell budget absorbs
+    residual float jitter (f32 device maxd vs f64 host refresh) flipping
+    a window-boundary match."""
+    from swarmmap_tpu.core.local_mapping import LocalMapping
+    from swarmmap_tpu.core.map_store import NO_MP
+
+    hw = (240, 320)
+    seq = datasets.synthesize_sequence(
+        n_frames=30, hw=hw, seed=5, n_points=350, motion="arc"
+    )
+    w = seq.world
+    s = Settings(
+        camera=CameraConfig(
+            fx=float(w.K[0, 0]), fy=float(w.K[1, 1]),
+            cx=float(w.K[0, 2]), cy=float(w.K[1, 2]),
+            fps=20.0, width=hw[1], height=hw[0],
+        ),
+        orb=OrbConfig(n_features=400, n_levels=4),
+    )
+    sys = System(s)
+    lm = sys.local_mapping
+    orig_create = LocalMapping._create_new_map_points
+    orig_fuse = LocalMapping._fuse_neighbors
+    stats = {"kfs": 0, "sym": 0, "cells": 0}
+
+    def create(self, k, n_neighbors=8):
+        self._ab = (self.store.clone(), self.store.n_mp)
+        self._ab[0].log_fn = None
+        orig_create(self, k, n_neighbors)
+
+    def fuse(self, k, *a, **kw):
+        orig_fuse(self, k, *a, **kw)
+        cl, pre = self._ab
+        lm2 = LocalMapping(cl, self.settings)
+        lm2._create_and_fuse(k)
+        st = self.store
+        made_a = {i for i in range(st.n_kp)
+                  if st.kf_kp_mp[k, i] >= pre}
+        made_b = {i for i in range(cl.n_kp)
+                  if cl.kf_kp_mp[k, i] >= pre}
+        ra = st.kf_kp_mp[: st.n_kf].copy()
+        rb = cl.kf_kp_mp[: st.n_kf].copy()
+        ra[ra >= pre] = -2
+        rb[rb >= pre] = -3
+        cells = int(((ra != rb) & ~((ra == -2) & (rb == -3))).sum())
+        stats["kfs"] += 1
+        stats["sym"] += len(made_a ^ made_b)
+        stats["cells"] += cells
+
+    lm.__class__._create_new_map_points = create
+    lm.__class__._fuse_neighbors = fuse
+    try:
+        for i in range(len(seq)):
+            sys.track_monocular(seq.read(i), seq.timestamps[i])
+    finally:
+        lm.__class__._create_new_map_points = orig_create
+        lm.__class__._fuse_neighbors = orig_fuse
+    assert stats["kfs"] >= 5
+    assert stats["sym"] == 0, stats
+    assert stats["cells"] <= max(2, stats["kfs"] // 4), stats
