@@ -329,7 +329,8 @@ class LocalMapping:
                 self._cull_map_points(k)
         if self._merged_mapping and not backlogged:
             # triangulate + fuse as one dispatch (ROADMAP perf #2);
-            # opt-in via SWARMMAP_MERGED_MAPPING=1 — see __init__
+            # default ON, SWARMMAP_MERGED_MAPPING=0 restores the
+            # two-phase path — see __init__
             with STATS.stage("lm_tri_fuse"):
                 self._create_and_fuse(k)
         else:
@@ -502,26 +503,22 @@ class LocalMapping:
         return created
 
     def _fuse_assemble(self, k: int, max_targets: int, cand_bucket: int,
-                       extra_targets=(), n_rows: int | None = None,
                        krow: bool = False):
         """Build the fuse dispatch inputs (call holding store.lock).
 
         The shared candidate set is the union of all targets' points
         (array gather; dedup keeps the FIRST occurrence so the strongest
-        targets' points survive the bucket cut).  extra_targets appends
-        additional keyframes (the merged program fuses into a SUPERSET of
-        rows and the commit filters to the post-triangulation ranking);
-        n_rows pads the row axis to a static size so jit caches stay
-        warm across the two call shapes; krow=True splits the candidates
-        into KF k's keypoint-indexed row bank + neighbor-only extras for
-        the merged triangulate+fuse program (see
-        _batched_triangulate_then_fuse on candidate ordering)."""
+        targets' points survive the bucket cut).  krow=True splits the
+        candidates into KF k's keypoint-indexed row bank + neighbor-only
+        extras for the merged triangulate+fuse program (see
+        _batched_triangulate_then_fuse on candidate ordering).  Near the
+        cand_bucket cap the krow layout admits slightly more extras than
+        the two-phase cut (ext_cap counts only pre-existing k-row points,
+        not fresh triangulations) — a deliberate divergence; typical
+        candidate counts sit far below the 2048 bucket."""
         st = self.store
         neighbors = st.covisible_kfs(k, max_targets - 1)
         targets = [k] + neighbors
-        for t in extra_targets:
-            if t not in targets:
-                targets.append(t)
         rows = st.kf_kp_mp[np.asarray(targets, np.int32)]
         if krow:
             # merged-path layout: KF k's row stays keypoint-indexed (the
@@ -562,7 +559,7 @@ class LocalMapping:
         mp_maxd[:n] = st.mp_max_dist[slots]
         mp_ok[:n] = True
 
-        B = n_rows or max_targets
+        B = max_targets
         n_kp = st.n_kp
         kf_Tcw = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
         kf_K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
@@ -666,19 +663,26 @@ class LocalMapping:
         The reference ranks fuse targets AFTER CreateNewMapPoints
         (SearchInNeighbors walks the refreshed covisibility graph,
         LocalMapping.cc:70-76) — but the merged program must pick its
-        rows before the new points exist.  Triangulation only ADDS
-        weight to edges toward its partner keyframes, so the post-commit
-        top-(max_targets-1) is always a subset of
-        {pre-commit top-(max_targets-1)} ∪ {triangulation partners}:
-        the device fuses into that superset of rows and the host commit
-        filters to the post-commit ranking."""
+        rows before the new points exist.  The round-4 default fused a
+        SUPERSET of rows (pre-ranked + triangulation partners) and let
+        the commit filter to the post ranking; that changed the fuse
+        CANDIDATE set, and masked_match's mutual-best cross-check let an
+        off-ranking candidate steal a target keypoint from the candidate
+        the two-phase path would have fused — a biased loss of merges
+        that compounded into dead loop closures on the circuit suite.
+        The fix: assemble candidates from exactly the pre-ranked rows,
+        then gate the device fuse on the post-triangulation ranking
+        matching the pre ranking as a SET (triangulation only adds
+        covisibility weight toward its partners, so mismatches are rare
+        — typically the 8th triangulation neighbor overtaking the 7th
+        fuse row).  On mismatch, discard the device fuse half and rerun
+        a fresh two-phase fuse — one extra round trip for that keyframe
+        buys exact candidate-set parity with LocalMapping.cc:70-76."""
         st = self.store
         with st.lock:
             tri = self._triangulate_assemble(k, n_neighbors)
             fuse = (self._fuse_assemble(
-                k, max_targets, cand_bucket,
-                extra_targets=[k2 for _, k2 in tri[0]],
-                n_rows=max_targets + n_neighbors, krow=True,
+                k, max_targets, cand_bucket, krow=True,
             ) if tri is not None else None)
         if tri is None:
             # no triangulation partners: plain fuse still applies
@@ -692,23 +696,31 @@ class LocalMapping:
             hw[0], hw[1], self.scale_factor, self.n_levels, window_th,
         ))
         idx_b, good_b, pts_b, fidx_b, fvalid_b = (np.asarray(x) for x in out)
+        exact = True
         with st.lock:
             new_mp_of_kp = self._triangulate_commit(
                 k, kept_nb, idx_b, good_b, pts_b)
-            # candidate -> map point: KF k's keypoint bank first (new
-            # points override their free slots), then the extras bucket
-            cand_mp = np.full(fvalid_b.shape[1], NO_MP, np.int32)
-            cand_mp[: st.n_kp] = krow_mp
-            for kp_i, mp in new_mp_of_kp.items():
-                cand_mp[kp_i] = mp
-            cand_mp[st.n_kp: st.n_kp + n] = slots
-            row_of = {tk: bi for bi, tk in enumerate(targets)}
-            commit_targets = [k] + st.covisible_kfs(k, max_targets - 1)
-            pairs = [(row_of[tk], tk) for tk in commit_targets
-                     if tk in row_of]
-            self._fuse_commit(
-                k, [tk for _, tk in pairs], cand_mp, fidx_b, fvalid_b,
-                rows=[bi for bi, _ in pairs])
+            post = [k] + st.covisible_kfs(k, max_targets - 1)
+            exact = set(post) == set(targets)
+            if exact:
+                # candidate -> map point: KF k's keypoint bank first (new
+                # points override their free slots), then the extras bucket
+                cand_mp = np.full(fvalid_b.shape[1], NO_MP, np.int32)
+                cand_mp[: st.n_kp] = krow_mp
+                for kp_i, mp in new_mp_of_kp.items():
+                    cand_mp[kp_i] = mp
+                cand_mp[st.n_kp: st.n_kp + n] = slots
+                row_of = {tk: bi for bi, tk in enumerate(targets)}
+                self._fuse_commit(
+                    k, post, cand_mp, fidx_b, fvalid_b,
+                    rows=[row_of[tk] for tk in post])
+        if not exact:
+            # ranking moved during triangulation: the device fused the
+            # stale candidate set — replay fuse two-phase style
+            _log.debug("merged fuse discarded for kf %d: ranking moved", k)
+            from ..utils.stats import STATS
+            STATS.bump("lm_merged_fuse_fallback")
+            self._fuse_neighbors(k, window_th, max_targets, cand_bucket)
 
     # ------------------------------------------------------------------
     def _local_ba(self, k: int, max_cams: int = 16, max_pts: int = 4096,

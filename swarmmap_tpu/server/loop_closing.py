@@ -28,6 +28,40 @@ from . import sim3_match
 _log = get_logger("loop")
 
 
+def _project_scale_gauge(Tn: np.ndarray, pn: np.ndarray,
+                         c_pre: np.ndarray, n_cams: int,
+                         n_pts: int) -> tuple[np.ndarray, np.ndarray]:
+    """Remove the scale-gauge component from a (mono) BA result.
+
+    With one fixed camera, reprojection error is exactly invariant to
+    scaling the whole solution about that camera's center — BA output
+    can wander along that null direction.  Rescale poses+points about
+    the anchor (row 0, the fixed camera) so the camera-center spread
+    matches the pre-BA solution `c_pre`.  The anchor's pose is
+    preserved bit-for-bit; reprojections are unchanged (projection is
+    invariant to scaling camera-frame points).
+    """
+    Tn = np.asarray(Tn, np.float64)
+    R = Tn[:n_cams, :3, :3]
+    c_new = -np.einsum("kij,kj->ki", R.transpose(0, 2, 1), Tn[:n_cams, :3, 3])
+    c0 = c_pre[0]
+    d_pre = np.sum((c_pre - c0) ** 2)
+    d_new = np.sum((c_new - c0) ** 2)
+    if d_new < 1e-12 or d_pre < 1e-12:
+        return Tn.astype(np.float32), np.asarray(pn)
+    s = float(np.sqrt(d_pre / d_new))
+    if abs(s - 1.0) < 1e-6:
+        return Tn.astype(np.float32), np.asarray(pn)
+    out_T = Tn.copy()
+    # t' = s*t - (1-s) * R_cw @ c0  (pure scaling about c0; rotation
+    # unchanged, anchor pose exactly preserved)
+    out_T[:n_cams, :3, 3] = (s * Tn[:n_cams, :3, 3]
+                             - (1.0 - s) * (R @ c0))
+    out_p = np.asarray(pn, np.float64).copy()
+    out_p[:n_pts] = s * out_p[:n_pts] + (1.0 - s) * c0
+    return out_T.astype(np.float32), out_p.astype(np.float32)
+
+
 class LoopClosing:
     def __init__(self, store: MapStore, kfdb: KeyFrameDatabase,
                  scale_factor: float = 1.2, n_levels: int = 8,
@@ -482,6 +516,11 @@ class LoopClosing:
                 st.kf_pose_cw[kfs], st.kf_K[kfs], fixed,
                 st.mp_pos[mps], obs_cam, obs_pt, obs_uv, obs_is2,
             )
+            # gauge snapshot for the post-GBA scale projection (below)
+            T_pre = st.kf_pose_cw[kfs].astype(np.float64)
+            c_pre = -np.einsum("kij,kj->ki",
+                               T_pre[:, :3, :3].transpose(0, 2, 1),
+                               T_pre[:, :3, 3])
         res = None
         done = 0
         first = True
@@ -523,6 +562,19 @@ class LoopClosing:
             done += step
             first = False
         Tn, pn = (np.asarray(x) for x in fetch(res.Tcw, res.pts))
+        # Monocular gauge projection.  With ONE fixed camera the
+        # similarity gauge leaves exactly one null direction: scale
+        # about the anchor's center (reprojection is invariant to it).
+        # The reference runs GlobalBundleAdjustment once per loop event
+        # (LoopClosing.cc:602) so a little wander along that direction
+        # never matters; THIS architecture re-runs GBA on every push
+        # (MediatorScheduler.cc:122) and distributes the result back to
+        # the tracker, so per-pass wander compounds through the
+        # push->GBA->distribute feedback into exponential scale drift
+        # (observed: 13x contraction over 40 circuit frames, killing
+        # loop closure).  Project the drift out: rescale the solution
+        # about the anchor so the camera-center spread is preserved.
+        Tn, pn = _project_scale_gauge(Tn, pn, c_pre, len(kfs), len(mps))
         with st.lock:
             if (not soft_abort and should_abort is not None
                     and should_abort()):

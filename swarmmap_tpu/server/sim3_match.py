@@ -142,7 +142,7 @@ def compute_sim3_between(
     st1: MapStore, k1: int, st2: MapStore, k2: int, rng_key,
     scale_factor: float, n_levels: int, min_inliers: int,
     min_bow_matches: int = 20, guided_th: float = 7.5,
-    own_origin_only: bool = False,
+    own_origin_only: bool = False, trace: list | None = None,
 ):
     """Full ComputeSim3 pipeline between (st1, k1) and (st2, k2).
 
@@ -157,8 +157,16 @@ def compute_sim3_between(
     gauge, so a loop Sim3 measured through them reports the inter-map
     alignment error as phantom drift (observed: s=1.08 "loops" on maps
     with <1% real drift, warping the whole replica when corrected).
+
+    trace: optional list; each pipeline stage appends a
+    (stage_name, value) tuple so diagnostics can see WHICH gate
+    rejected a candidate (tools/diag_loop_gates.py).
     """
     from .. import MAP_BASE
+
+    def _tr(stage, value):
+        if trace is not None:
+            trace.append((stage, value))
 
     def _own_mask(st, mps):
         if not own_origin_only:
@@ -175,6 +183,7 @@ def compute_sim3_between(
         max_dist=matching.TH_LOW, ratio=0.75,
     )
     idx, valid = (np.asarray(x) for x in fetch(m.idx, m.valid))
+    _tr('bow_raw', int(valid.sum()))
     if valid.sum() < min_bow_matches:
         return None
     kq = np.where(valid)[0]
@@ -184,6 +193,7 @@ def compute_sim3_between(
     ok &= _own_mask(st1, mp1) & _own_mask(st2, mp2)
     mp1, mp2, kq = mp1[ok], mp2[ok], kq[ok]
     kt = idx[kq]
+    _tr('bow_mp', int(len(mp1)))
     if len(mp1) < min_bow_matches:
         return None
 
@@ -207,6 +217,7 @@ def compute_sim3_between(
         min_inliers=min(min_inliers, 20),
     )
     r_ok, r_s, r_R, r_t = fetch(res.success, res.s, res.R, res.t)
+    _tr('ransac', (bool(r_ok), round(float(r_s), 4)))
     if not bool(r_ok):
         return None
     r_s, r_R, r_t = float(r_s), np.asarray(r_R), np.asarray(r_t)
@@ -266,6 +277,7 @@ def compute_sim3_between(
         jnp.asarray(okp), jnp.asarray(st1.kf_K[k1]), jnp.asarray(st2.kf_K[k2]),
     )
     o_n, o_s, o_R, o_t = fetch(opt.n_inliers, opt.s, opt.R, opt.t)
+    _tr('opt', (int(o_n), round(float(o_s), 4)))
     if int(o_n) < min_inliers:
         return None
     o_s, o_R, o_t = float(o_s), np.asarray(o_R), np.asarray(o_t)
@@ -279,6 +291,7 @@ def compute_sim3_between(
     # wrong scale lands tens of pixels off from any other viewpoint.
     ok_nb, ratio, n_checked = _neighbor_verify(
         st1, k1, st2, k2, o_s, o_R, o_t, mp1, mp2, scale_factor)
+    _tr('nbver', (bool(ok_nb), round(ratio, 3), int(n_checked)))
     if not ok_nb:
         _log.info(
             "sim3 rejected by neighbor verification: s=%.3f ratio=%.2f "

@@ -92,15 +92,21 @@ def test_merged_path_same_accuracy(both_paths):
 
 
 def test_merged_dispatch_equals_two_phase_per_keyframe():
-    """Single-dispatch A/B: from IDENTICAL pre-state, the merged program
-    must create the SAME point set as triangulate-then-fuse and produce
-    (near-)identical fuse outcomes — the candidate bank mirrors the
-    two-phase path's index-order tie-breaking (see
-    _batched_triangulate_then_fuse).  A tiny cell budget absorbs
-    residual float jitter (f32 device maxd vs f64 host refresh) flipping
-    a window-boundary match."""
+    """Single-dispatch A/B with MERGED AS PRIMARY (the shipped default):
+    the system runs _create_and_fuse; per keyframe, the two-phase
+    reference path (triangulate, then fuse) replays on a pre-state clone
+    and the two stores must agree — same created-point keypoint set,
+    (near-)identical fuse outcomes.  A tiny cell budget absorbs residual
+    float jitter (f32 device maxd vs f64 host refresh) flipping a
+    window-boundary match.
+
+    History: round 4 ran this A/B the other way around (two-phase
+    primary, merged on the clone) but monkeypatched the two-phase
+    methods — which the merged default never calls — so the gate went
+    vacuous exactly when the default flipped (VERDICT r4 weak #2).
+    Hooking _create_and_fuse itself means the gate dies loudly if the
+    default path is ever renamed away from it."""
     from swarmmap_tpu.core.local_mapping import LocalMapping
-    from swarmmap_tpu.core.map_store import NO_MP
 
     hw = (240, 320)
     seq = datasets.synthesize_sequence(
@@ -117,20 +123,18 @@ def test_merged_dispatch_equals_two_phase_per_keyframe():
     )
     sys = System(s)
     lm = sys.local_mapping
-    orig_create = LocalMapping._create_new_map_points
-    orig_fuse = LocalMapping._fuse_neighbors
+    assert lm._merged_mapping, "shipped default must be merged dispatch"
+    orig_merged = LocalMapping._create_and_fuse
     stats = {"kfs": 0, "sym": 0, "cells": 0}
 
-    def create(self, k, n_neighbors=8):
-        self._ab = (self.store.clone(), self.store.n_mp)
-        self._ab[0].log_fn = None
-        orig_create(self, k, n_neighbors)
-
-    def fuse(self, k, *a, **kw):
-        orig_fuse(self, k, *a, **kw)
-        cl, pre = self._ab
+    def merged(self, k, *a, **kw):
+        cl = self.store.clone()
+        cl.log_fn = None
+        pre = self.store.n_mp
+        orig_merged(self, k, *a, **kw)
         lm2 = LocalMapping(cl, self.settings)
-        lm2._create_and_fuse(k)
+        lm2._create_new_map_points(k)
+        lm2._fuse_neighbors(k)
         st = self.store
         made_a = {i for i in range(st.n_kp)
                   if st.kf_kp_mp[k, i] >= pre}
@@ -145,14 +149,12 @@ def test_merged_dispatch_equals_two_phase_per_keyframe():
         stats["sym"] += len(made_a ^ made_b)
         stats["cells"] += cells
 
-    lm.__class__._create_new_map_points = create
-    lm.__class__._fuse_neighbors = fuse
+    lm.__class__._create_and_fuse = merged
     try:
         for i in range(len(seq)):
             sys.track_monocular(seq.read(i), seq.timestamps[i])
     finally:
-        lm.__class__._create_new_map_points = orig_create
-        lm.__class__._fuse_neighbors = orig_fuse
+        lm.__class__._create_and_fuse = orig_merged
     assert stats["kfs"] >= 5
     assert stats["sym"] == 0, stats
     assert stats["cells"] <= max(2, stats["kfs"] // 4), stats
