@@ -79,6 +79,14 @@ class TrackingParams:
     # entry points; when on, pose-opt outliers feed the vote ledger and
     # dynamic-voted points are excluded from tracking candidate sets.
     dynamic_filter: bool = False
+    # appearance segmenter hook (reference: DynamicExtractor.cc runs a
+    # Mask-RCNN through cv::dnn).  "conv" loads the shipped tiny conv
+    # (data/dyn_segmenter.npz, tools/train_dyn_segmenter.py); a callable
+    # is used directly as segment_fn(image)->bool mask.  New keyframes'
+    # images are segmented (every dynamic_segment_every-th, flow-
+    # propagated in between) and observed points voted dynamic/static.
+    dynamic_segment: object = None
+    dynamic_segment_every: int = 1
     # RECENTLY_LOST grace window (frames): on a marginal local-map
     # failure, hold the constant-velocity motion model and keep retrying
     # full tracking instead of dropping straight to relocalization.  The
@@ -119,17 +127,32 @@ class Tracking:
         self.local_mapping = local_mapping
         self.p = params or TrackingParams()
         self.dynamic = None
-        if self.p.dynamic_filter:
-            from .dynamic import DynamicRunner
+        if self.p.dynamic_filter or self.p.dynamic_segment is not None:
+            from .dynamic import DynamicExtractor, DynamicRunner
 
-            self.dynamic = DynamicRunner(store)
+            seg = self.p.dynamic_segment
+            if seg == "conv":
+                from .dynamic import load_segmenter
+
+                seg = load_segmenter()
+            ex = (DynamicExtractor(seg, self.p.dynamic_segment_every)
+                  if callable(seg) else None)
+            self.dynamic = DynamicRunner(store, extractor=ex)
         self.state = TrackingState.NO_IMAGES_YET
         self.init_frame: Frame | None = None
         self.last_frame: Frame | None = None
         self.velocity: np.ndarray | None = None  # Tcl: last->current
         self.ref_kf: int = -1
+        # last frame's pose RELATIVE to its reference keyframe (Tlr) —
+        # re-anchored every frame so keyframe-pose rewrites (local BA,
+        # server DistributeMap, loop correction) move the motion-model
+        # prior with the map (reference: Tracking::UpdateLastFrame,
+        # Tracking.cc:674 — mLastFrame.SetPose(Tlr*pRef->GetPose()))
+        self._last_rel: np.ndarray | None = None
+        self._last_ref: int = -1
         self.last_kf_frame_id: int = -1
         self.matches_inliers = 0
+        self.reacquire_subthreshold = False
         self.fused_frames = 0     # frames fully tracked by the fused program
         self.lost_count = 0
         self.grace = 0  # consecutive RECENTLY_LOST frames
@@ -180,6 +203,7 @@ class Tracking:
                         self._monocular_initialization(frame)
                 else:
                     self._track(frame)
+                self._segment_new_keyframe(frame, image)
         with self.store.lock:
             return self.finish_frame(frame, timestamp)
 
@@ -250,6 +274,7 @@ class Tracking:
             self.store.lock.release()
 
     def _prepare_fused_locked(self, st, image, pipeline):
+        self._reanchor_last_frame()
         # NOTE: the local-map bucket depends on last_frame.mp (the seed
         # set moves every frame) and _collect_local_slots also refreshes
         # self.ref_kf — it must run per frame.  A store.version-keyed
@@ -337,12 +362,52 @@ class Tracking:
         self.velocity = frame.pose_cw @ np.linalg.inv(self.last_frame.pose_cw)
         if self._need_new_keyframe(frame):
             self._create_new_keyframe(frame)
+            self._segment_new_keyframe(frame, image)
         return frame
+
+    def _segment_new_keyframe(self, frame: Frame, image: np.ndarray):
+        """If this frame just became a keyframe and an appearance
+        segmenter is configured, run it over the image and vote the
+        keyframe's observed points dynamic/static (reference:
+        DynamicRunner enqueues (KeyFrame, image) at keyframe creation)."""
+        if (self.dynamic is None or self.dynamic.extractor is None
+                or frame.frame_id != self.last_kf_frame_id
+                or self.ref_kf < 0):
+            return
+        self.dynamic.enqueue(self.ref_kf, image,
+                             score=float(self.matches_inliers))
+        self.dynamic.process(1)
+
+    def _reanchor_last_frame(self):
+        """UpdateLastFrame (Tracking.cc:674): recompute the last frame's
+        pose from its stored keyframe-relative transform, so local BA /
+        server distribute pose rewrites between frames propagate into
+        the motion-model prior instead of leaving it in a stale gauge
+        (the pre-fix symptom: a distribute rebasing 40+ keyframe poses
+        kicked the next frame's prior hard enough to seed a runaway
+        monocular scale collapse on the circuit's fast-turn section)."""
+        lf = self.last_frame
+        if (lf is None or lf.pose_cw is None or self._last_rel is None
+                or self._last_ref < 0
+                or not self.store.kf_alive[self._last_ref]):
+            return
+        lf.pose_cw = (
+            self._last_rel @ self.store.kf_pose_cw[self._last_ref]
+        ).astype(np.float32)
 
     def finish_frame(self, frame: Frame, timestamp: float) -> np.ndarray | None:
         """Post-track bookkeeping shared by grab() and the batched swarm
         path: last-frame slot, trajectory, STS velocity stats."""
         self.last_frame = frame
+        st = self.store
+        if (frame.pose_cw is not None and 0 <= self.ref_kf < st.n_kf
+                and st.kf_alive[self.ref_kf]):
+            self._last_rel = frame.pose_cw @ np.linalg.inv(
+                st.kf_pose_cw[self.ref_kf])
+            self._last_ref = self.ref_kf
+        else:
+            self._last_rel = None
+            self._last_ref = -1
         if frame.pose_cw is not None:
             Twc = np.linalg.inv(frame.pose_cw)
             self.trajectory.append((timestamp, Twc))
@@ -532,6 +597,8 @@ class Tracking:
 
     # ------------------------------------------------------------------ tracking
     def _track(self, frame: Frame):
+        self._reanchor_last_frame()
+        self.reacquire_subthreshold = False
         ok = False
         if self.state == TrackingState.OK:
             if self.velocity is not None:
@@ -586,7 +653,8 @@ class Tracking:
                 # already ran this frame and keeps running on the next —
                 # the only change is not nulling the pose / state.
                 self.grace += 1
-                has_pose = (pose_acquired and frame.pose_cw is not None
+                has_pose = ((pose_acquired or self.reacquire_subthreshold)
+                            and frame.pose_cw is not None
                             and self.matches_inliers >= 10)
                 if not has_pose:
                     # no usable sub-threshold pose: dead-reckon
@@ -810,17 +878,45 @@ class Tracking:
         raw = raw[st.mp_alive[raw]]
         if len(raw) < 20:
             return False
+        # the attempt mutates frame.mp / frame.pose_cw; on an EARLY
+        # failure (too few matches / pose opt diverged) the RECENTLY_LOST
+        # branch may still insert a rescue keyframe keyed to the earlier
+        # stage's matches_inliers, so those associations must survive
+        # (ADVICE r4).  A LATE failure — local map tracked but below the
+        # acceptance bar — leaves frame.mp/pose/matches_inliers mutually
+        # CONSISTENT, and keeping them is what lets the rescue-keyframe
+        # path extend the map through a weak-feature section (observed:
+        # 20 frames dead-reckoning at 23 inliers with the map frozen,
+        # then a late relocalization that misses the loop-closure window).
+        saved_mp = frame.mp.copy()
+        saved_pose = None if frame.pose_cw is None else frame.pose_cw.copy()
+        saved_inliers = self.matches_inliers
+        self.reacquire_subthreshold = False
+
+        def fail() -> bool:
+            frame.mp[:] = saved_mp
+            frame.pose_cw = saved_pose
+            self.matches_inliers = saved_inliers
+            return False
+
         slots, kp_idx, valid, _vis = self._match_against_mps(
             frame, raw.astype(np.int32), frame.pose_cw,
             3 * self.p.motion_window_th,
         )
+        if valid.sum() < 20:
+            return fail()
         frame.mp[:] = NO_MP
         frame.mp[kp_idx[valid]] = slots[valid]
-        if valid.sum() < 20:
-            return False
         if self._pose_opt_frame(frame) < self.p.min_inliers_motion:
-            return False
-        return self._track_local_map(frame)
+            return fail()
+        if not self._track_local_map(frame):
+            if self.matches_inliers >= self.p.kf_min_inliers:
+                # sub-threshold but self-consistent pose + associations:
+                # keep them so the grace branch can rescue-keyframe
+                self.reacquire_subthreshold = True
+                return False
+            return fail()
+        return True
 
     def _relocalize(self, frame: Frame) -> bool:
         st = self.store
