@@ -22,19 +22,17 @@ jax.config.update("jax_platforms", "cpu")
 # run.  Besides the big wall-clock win, this sidesteps a reproducible
 # XLA:CPU codegen segfault that only manifests late in a full-suite run
 # (same program compiles fine in isolation) — cached executables skip
-# codegen entirely.
-# NOTE: XLA:CPU AOT cache entries record the builder's machine features
-# (cpu_aot_loader warns on mismatch, e.g. +prefer-no-scatter, "could
-# lead to execution errors such as SIGILL") — if the suite ever
-# SIGILLs/SIGSEGVs right after such a warning, delete the cache dir; it
-# was written by a host with a different CPU feature set.
-_cache = os.environ.get("SWARMMAP_TEST_CACHE", "/root/.jax_cache_cpu")
-try:
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except (OSError, ValueError):
-    pass
+# codegen entirely.  The directory is keyed by the host's CPU feature
+# fingerprint (utils/compile_cache.py): XLA:CPU AOT entries record the
+# builder's machine features, and loading them on a different host
+# SIGSEGVs inside the cache deserializer (observed when this container
+# migrated hosts mid-round).
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from swarmmap_tpu.utils.compile_cache import configure as _configure_cache
+
+_configure_cache(jax, platform="cpu")
 
 import numpy as np
 import pytest

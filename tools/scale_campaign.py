@@ -30,10 +30,25 @@ import time
 
 import jax
 
-cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-os.makedirs(cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# SCALE_MESH=<n>: run the campaign with agents sharded over an n-device
+# virtual CPU mesh (VERDICT r4 #7 — the multichip path at campaign
+# scale, not just the dryrun).  Must configure before first backend use.
+_MESH_N = int(os.environ.get("SCALE_MESH", "0") or 0)
+if _MESH_N:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + f" --xla_force_host_platform_device_count={_MESH_N}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from swarmmap_tpu.utils.compile_cache import configure as _configure_cache
+
+_configure_cache(jax, platform="cpu" if _MESH_N else None)
 
 import numpy as np  # noqa: E402
 
@@ -136,10 +151,18 @@ def main() -> int:
         ),
         orb=OrbConfig(n_features=1000, n_levels=8),
     )
+    # bench-identical configuration (VERDICT r4 #5): the campaign gates
+    # the same async_mapping + async_server + double_buffer stack that
+    # bench.py measures (SCALE_SYNC=1 restores the synchronous paths)
+    fast = not os.environ.get("SCALE_SYNC")
     swarm = Swarm(N_AGENTS, settings,
                   config=SwarmConfig(push_every=20, report_every=10,
-                                     async_mapping=True, async_server=True),
+                                     async_mapping=fast, async_server=fast,
+                                     double_buffer=fast,
+                                     mesh_agents=bool(_MESH_N) or None),
                   run_server_gba=True)
+    if _MESH_N:
+        assert swarm.mesh is not None, "SCALE_MESH set but no mesh built"
     def _server_own_fit():
         """Per-map internal distortion diagnostic: optimal-Sim3 residual
         of each SERVER replica's own genuine keyframes against ground
