@@ -149,6 +149,8 @@ class MapStore:
         self.obs_alive = np.zeros(obs_cap, bool)
         self._obs_row: dict[tuple[int, int], int] = {}
         self._obs_dead = 0
+        self._obs_version = 0          # bumped on every obs mutation
+        self._obs_cache = None         # (version, (mp, kf, kp)) for obs_arrays
         self.mp_nobs = np.zeros(mp_capacity, np.int32)
         # covisibility: kf slot -> {kf slot: shared count}
         self.covis: dict[int, dict[int, int]] = {}
@@ -186,6 +188,7 @@ class MapStore:
         row = self._obs_row.get((m, k))
         if row is not None:
             self.obs_kp[row] = kp
+            self._obs_version += 1
             return
         if self.obs_n >= len(self.obs_mp):
             if self._obs_dead * 2 > self.obs_n:
@@ -198,6 +201,7 @@ class MapStore:
                 self.obs_kf[self.obs_n:] = -1
         row = self.obs_n
         self.obs_n += 1
+        self._obs_version += 1
         self.obs_mp[row] = m
         self.obs_kf[row] = k
         self.obs_kp[row] = kp
@@ -211,6 +215,7 @@ class MapStore:
             self.obs_alive[row] = False
             self.mp_nobs[m] -= 1
             self._obs_dead += 1
+            self._obs_version += 1
 
     def _obs_compact(self):
         """Drop dead rows in place (amortized; keeps gathers dense)."""
@@ -238,6 +243,8 @@ class MapStore:
         for key, v in self.__dict__.items():
             if key == "lock":
                 new.lock = threading.RLock()
+            elif key == "_obs_cache":
+                new._obs_cache = None
             elif isinstance(v, np.ndarray):
                 setattr(new, key, v.copy())
             elif isinstance(v, (dict, set, list)):
@@ -248,10 +255,18 @@ class MapStore:
 
     def obs_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Live observation rows as (mp, kf, kp) arrays — the batch
-        interface for BA assembly, scoring, and local-map collection."""
+        interface for BA assembly, scoring, and local-map collection.
+        Cached per obs-version (it runs per frame per agent on the
+        tracker's hot path); callers must treat the arrays as
+        READ-ONLY — they are shared until the next obs mutation."""
+        c = self._obs_cache
+        if c is not None and c[0] == self._obs_version:
+            return c[1]
         n = self.obs_n
         a = self.obs_alive[:n]
-        return self.obs_mp[:n][a], self.obs_kf[:n][a], self.obs_kp[:n][a]
+        out = (self.obs_mp[:n][a], self.obs_kf[:n][a], self.obs_kp[:n][a])
+        self._obs_cache = (self._obs_version, out)
+        return out
 
     # -- logging hook --------------------------------------------------------
     def _emit(self, kind: str, func: str, gid: int, args: tuple, log: bool):
@@ -509,6 +524,7 @@ class MapStore:
             self.obs_kf[self.obs_n:] = -1
         r0 = self.obs_n
         self.obs_n = need
+        self._obs_version += 1
         self.obs_mp[r0:need] = ms
         self.obs_kf[r0:need] = k
         self.obs_kp[r0:need] = kps

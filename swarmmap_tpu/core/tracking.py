@@ -231,13 +231,18 @@ class Tracking:
             self.ref_kf = int(local_kfs[0])
             # rows in covisibility-weight order; dedup keeps the FIRST
             # occurrence so the strongest keyframes' points survive the
-            # bucket cut
+            # bucket cut.  Scatter-based dedup: reversed assignment makes
+            # the first occurrence's index win, so the sort runs over
+            # the ~2k unique candidates instead of the ~120k row slots
+            # (this is the tracker's hot per-frame host path)
             rows = st.kf_kp_mp[np.asarray(local_kfs)]
             flat = rows[rows != NO_MP]
-            uniq, first = np.unique(flat, return_index=True)
-            cand = uniq[np.argsort(first)]
-            cand = cand[st.mp_alive[cand]]
-            extra = cand[~np.isin(cand, seed_arr)]
+            pos_of = np.full(st.n_mp, -1, np.int32)
+            pos_of[flat[::-1]] = np.arange(
+                len(flat) - 1, -1, -1, dtype=np.int32)
+            cand = np.where((pos_of >= 0) & st.mp_alive[: st.n_mp]
+                            & ~in_seed[: st.n_mp])[0]
+            extra = cand[np.argsort(pos_of[cand], kind="stable")]
             slots = np.concatenate([seed_arr, extra])
         else:
             slots = seed_arr
@@ -746,8 +751,14 @@ class Tracking:
         Tcw_np, inl = fetch(res.Tcw, res.inliers)
         frame.pose_cw = np.asarray(Tcw_np)
         inl = np.asarray(inl)
-        if self.dynamic is not None:
-            # rigid-motion outliers are dynamic evidence, inliers static
+        if self.dynamic is not None and self.dynamic.extractor is None:
+            # model-free fallback ONLY: rigid-motion outliers are dynamic
+            # evidence, inliers static.  With an appearance segmenter
+            # configured, appearance is the sole evidence source — the
+            # per-frame residual vote's false-positive rate (transient
+            # outliers under fast motion / marginal matches) otherwise
+            # out-shouts the per-keyframe mask votes and flags swaths of
+            # static map (observed: 691 of ~900 points flagged).
             self.dynamic.votes.vote(slots[valid], ~inl[valid])
         frame.mp[valid & ~inl] = NO_MP
         return int(inl.sum())
