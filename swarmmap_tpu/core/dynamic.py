@@ -138,6 +138,74 @@ def propagate_mask(prev_img: np.ndarray, next_img: np.ndarray,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Shipped tiny segmenter (VERDICT r4 #8).  The reference's DynamicExtractor
+# runs an appearance-based Mask-RCNN through cv::dnn for known dynamic
+# classes (DynamicExtractor.cc); the synthetic analogue is a 3-layer conv
+# (~1.3k params, tools/train_dyn_segmenter.py) that segments the STRIPED
+# texture family the synthetic worlds use for dynamic objects — static
+# landmarks are ring/wedge disks, a distinct appearance class.  Inference
+# is plain numpy so the core stays framework-free.
+# ---------------------------------------------------------------------------
+
+def stripe_texture(size: int, rng) -> np.ndarray:
+    """The dynamic-object appearance class: high-contrast diagonal
+    stripes (period 5-8 px, random phase/orientation sign)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    period = rng.uniform(5.0, 8.0)
+    sgn = 1.0 if rng.rand() < 0.5 else -1.0
+    phase = rng.uniform(0, 2 * np.pi)
+    wave = np.sin(2 * np.pi * (xx + sgn * yy) / period + phase)
+    lo, hi = rng.uniform(10, 60), rng.uniform(190, 250)
+    return (lo + (hi - lo) * (wave > 0)).astype(np.float32)
+
+
+def _conv2d(x: np.ndarray, w: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Same-padded conv via im2col: x [Cin,H,W], w [Cout,Cin,kh,kw]."""
+    cout, cin, kh, kw = w.shape
+    H, W = x.shape[1:]
+    xp = np.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)))
+    cols = np.empty((cin * kh * kw, H * W), np.float32)
+    i = 0
+    for c in range(cin):
+        for dy in range(kh):
+            for dx in range(kw):
+                cols[i] = xp[c, dy:dy + H, dx:dx + W].ravel()
+                i += 1
+    out = w.reshape(cout, -1) @ cols + b[:, None]
+    return out.reshape(cout, H, W)
+
+
+class ConvSegmenter:
+    """numpy forward of the shipped 3-layer conv; __call__ follows the
+    `segment_fn(image) -> bool mask` hook contract."""
+
+    def __init__(self, weights: dict):
+        self.layers = []
+        i = 0
+        while f"w{i}" in weights:
+            self.layers.append((weights[f"w{i}"].astype(np.float32),
+                                weights[f"b{i}"].astype(np.float32)))
+            i += 1
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        x = (np.asarray(image, np.float32) / 255.0)[None]
+        for li, (w, b) in enumerate(self.layers):
+            x = _conv2d(x, w, b)
+            if li + 1 < len(self.layers):
+                np.maximum(x, 0.0, out=x)
+        return x[0] > 0.0
+
+
+def load_segmenter() -> ConvSegmenter:
+    """Load the shipped dynamic-object segmenter weights."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "dyn_segmenter.npz")
+    return ConvSegmenter(dict(np.load(path)))
+
+
 class DynamicExtractor:
     """Mask source with the reference's cadence (DynamicExtractor.cc):
     run the (expensive) segmenter every `segment_every` frames and
@@ -232,9 +300,16 @@ class DynamicRunner:
             uv = st.kf_kp_uv[k]
             mp = st.kf_kp_mp[k]
             has = (mp != NO_MP) & st.kf_kp_valid[k]
-            xs = np.clip(uv[has, 0].astype(int), 0, mask.shape[1] - 1)
-            ys = np.clip(uv[has, 1].astype(int), 0, mask.shape[0] - 1)
-            self.votes.vote(mp[has], mask[ys, xs])
+            xs = np.clip(uv[has, 0].astype(int), 1, mask.shape[1] - 2)
+            ys = np.clip(uv[has, 1].astype(int), 1, mask.shape[0] - 2)
+            # 3x3 max: keypoint centers are sub-pixel, and a corner
+            # sits exactly where the segmenter is least confident —
+            # count a hit anywhere in the pixel neighborhood
+            hit = np.zeros(len(xs), bool)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    hit |= mask[ys + dy, xs + dx]
+            self.votes.vote(mp[has], hit)
             n += 1
         return n
 
