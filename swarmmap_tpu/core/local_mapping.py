@@ -540,6 +540,16 @@ class LocalMapping:
             uniq, first = np.unique(flat, return_index=True)
             cand = uniq[np.argsort(first)]
             cand = cand[st.mp_alive[cand] & ~in_krow[cand]]
+            # Deliberate near-cap divergence from two-phase: ext_cap
+            # reserves bucket space only for PRE-existing live points in
+            # k's row, so fresh triangulations (which the device writes
+            # into free keypoint slots) can push live candidates past
+            # cand_bucket where two-phase would have cut at the bucket
+            # boundary.  Only reachable when row-live + neighbor-unique
+            # points exceed 2048; the per-dispatch A/B
+            # (tests/test_mapping_fused.py) never gets near it, and
+            # over-fusing a marginal extra candidate is strictly more
+            # reference-like than dropping it.
             ext_cap = max(0, cand_bucket - int(kv.sum()))
             slots = cand[:ext_cap].astype(np.int32)
         else:
